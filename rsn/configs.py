@@ -1,0 +1,144 @@
+"""Dataclass config tree mirroring the reference's registration surface.
+
+Field names track the reference so CLI overrides translate 1:1:
+- TrainerConfig      <- reflect_sampling_nerf_config.py:28-61
+- PipelineConfig     <- reflect_sampling_nerf_pipeline.py:26-35
+- DataManagerConfig  <- reflect_sampling_nerf_datamanager.py:17-24 +
+                        train/eval_num_rays_per_batch (config.py:37-38)
+- ModelConfig        <- reflect_sampling_nerf_model.py:38-75 (sample counts,
+                        loss coefficients, collider params, eval chunk)
+- optimizer table    <- config.py:44-58 (three groups; only "fields" binds
+                        parameters — replicated quirk, SURVEY.md B#6)
+
+The 50-step warmup of the normal/orientation loss coefficients
+(pipeline.py:79-91) is expressed as the pure function
+`loss_coefficients_at_step` instead of config mutation.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field as dfield
+from typing import Dict, Optional, Tuple
+
+LOSS_COEFFICIENTS: Dict[str, float] = {
+    # model.py:56-69; "low" entries retained for key parity but unused
+    "loss_low_coarse": 1e-1,
+    "loss_low_fine": 1e-1,
+    "loss_mid_coarse": 1.0,
+    "loss_mid_fine": 1.0,
+    "loss_reflect_low_coarse": 1e-1,
+    "loss_reflect_low_fine": 1e-1,
+    "loss_reflect_mid_coarse": 1.0,
+    "loss_reflect_mid_fine": 1.0,
+    "predicted_normal_loss_coarse": 3e-5,
+    "predicted_normal_loss_fine": 3e-4,
+    "orientation_loss_coarse": 1e-2,
+    "orientation_loss_fine": 1e-1,
+}
+
+WARMUP_ZEROED = (
+    "predicted_normal_loss_coarse", "predicted_normal_loss_fine",
+    "orientation_loss_coarse", "orientation_loss_fine",
+)
+WARMUP_STEPS = 50  # pipeline.py:80
+
+
+def loss_coefficients_at_step(step: int) -> Dict[str, float]:
+    """Pure per-step schedule replacing the reference's config mutation."""
+    coeffs = dict(LOSS_COEFFICIENTS)
+    if step < WARMUP_STEPS:
+        for k in WARMUP_ZEROED:
+            coeffs[k] = 0.0
+    return coeffs
+
+
+@dataclass(frozen=True)
+class BugCompat:
+    """Replicate-vs-fix switches for the reference's quirks (SURVEY.md App B)."""
+    sh_l8_m7_2x: bool = True          # B#1: l=8 m=+-7 SH coeffs 2x
+    reflect_near_zero: bool = True    # B#2: reflected rays start at surface
+    tint_random_background: bool = True  # renderer_factor default bg
+    depth_method: str = "median"      # B#9
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    num_coarse_samples: int = 128
+    num_importance_samples: int = 128
+    num_reflect_coarse_samples: int = 64
+    num_reflect_importance_samples: int = 64
+    eval_num_rays_per_chunk: int = 1 << 10
+    collider_near_plane: float = 2.0   # base ModelConfig collider_params
+    collider_far_plane: float = 6.0
+    reflect_near: float = 1.0 / 16     # model.py:114 (dead when nears=0)
+    reflect_far: float = 2.0 ** 8      # model.py:113
+    reciprocal_tan: float = 0.25       # model.py:111
+    mask_accumulation_threshold: float = 1e-2  # model.py:229
+    background_color: str = "white"    # model.py:117
+    compute_dtype: str = "float32"     # "bfloat16" for the trunk matmuls
+    bug_compat: BugCompat = dfield(default_factory=BugCompat)
+
+
+@dataclass(frozen=True)
+class DataManagerConfig:
+    dataparser: str = "blender"        # blender | nerfstudio | synthetic
+    data: Optional[str] = None         # dataset path
+    train_num_rays_per_batch: int = 1024
+    eval_num_rays_per_batch: int = 1024
+    alpha_color: str = "white"         # Blender RGBA -> RGB blending
+    scale_factor: float = 1.0
+    downscale_factor: int = 1
+
+
+@dataclass(frozen=True)
+class OptimizerGroupConfig:
+    optimizer: str = "adam"            # adam | radam
+    lr: float = 1e-3
+    eps: float = 1e-15
+    lr_final: float = 1e-4
+    max_steps: int = 50000
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    datamanager: DataManagerConfig = dfield(default_factory=DataManagerConfig)
+    model: ModelConfig = dfield(default_factory=ModelConfig)
+
+
+def _default_optimizers() -> Dict[str, OptimizerGroupConfig]:
+    return {
+        # config.py:44-58; proposal_networks/camera_opt bind no params (B#6)
+        "proposal_networks": OptimizerGroupConfig(
+            optimizer="adam", lr=1e-3, eps=1e-15,
+            lr_final=1e-4, max_steps=200000),
+        "fields": OptimizerGroupConfig(
+            optimizer="radam", lr=1e-3, eps=1e-15,
+            lr_final=1e-4, max_steps=50000),
+        "camera_opt": OptimizerGroupConfig(
+            optimizer="adam", lr=1e-3, eps=1e-15,
+            lr_final=1e-4, max_steps=5000),
+    }
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    method_name: str = "reflect-sampling-nerf"
+    experiment_name: str = "unnamed"
+    output_dir: str = "outputs"
+    steps_per_eval_batch: int = 100
+    steps_per_eval_image: int = 500
+    steps_per_save: int = 1000
+    max_num_iterations: int = 100000
+    mixed_precision: bool = True       # bf16 trunk on TPU (no GradScaler)
+    seed: int = 42
+    pipeline: PipelineConfig = dfield(default_factory=PipelineConfig)
+    optimizers: Dict[str, OptimizerGroupConfig] = dfield(
+        default_factory=_default_optimizers)
+    # parallelism: number of devices for the data mesh axis (0 = all)
+    num_devices: int = 0
+    steps_per_log: int = 10
+    viewer_num_rays_per_chunk: int = 1 << 10
+
+
+def replace(cfg, **kwargs):
+    return dataclasses.replace(cfg, **kwargs)

@@ -1,0 +1,45 @@
+"""mip-NeRF-360 scene contraction of Gaussians (mean + full covariance).
+
+Rebuilds the reference field's hand-derived contraction
+(reflect_sampling_nerf_field.py:98-119) as a pure function:
+
+  c(x)   = x                          if |x| <= 1
+           (2|x| - 1)/|x|^2 * x       otherwise
+  J(x)   = I                          if |x| <= 1
+           ((2|x|-2)(I - x x^T/|x|^2) + I)/|x|^2   otherwise (symmetric)
+  cov'   = J cov J     (J = J^T), diagonal ReLU-clamped.
+
+Verified exact against the reference's torch expression (SURVEY.md A.1:
+max abs err 3e-8 vs autograd jacobian).  Division guards keep both
+`where` branches finite so JAX gradients stay NaN-free.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def contract(mean: jax.Array, cov: jax.Array):
+    """Contract Gaussian (mean (..., 3), cov (..., 3, 3)) into radius-2 ball."""
+    norm2 = jnp.sum(mean**2, axis=-1, keepdims=True)  # (..., 1)
+    norm = jnp.sqrt(norm2)
+    mask = norm > 1.0
+    safe_norm2 = jnp.where(norm2 > 0, norm2, 1.0)
+    mean_contract = jnp.where(mask, (2.0 * norm - 1.0) / safe_norm2 * mean,
+                              mean)
+
+    norm_e = norm[..., None]  # (..., 1, 1)
+    norm2_e = safe_norm2[..., None]
+    outer = mean[..., :, None] * mean[..., None, :] / norm2_e
+    eyes = jnp.broadcast_to(jnp.eye(3, dtype=mean.dtype), outer.shape)
+    jacobian = jnp.where(mask[..., None],
+                         ((2.0 * norm_e - 2.0) * (eyes - outer) + eyes)
+                         / norm2_e,
+                         eyes)
+    # J @ cov @ J  (J symmetric; reference field.py:113)
+    cov_contract = jacobian @ cov @ jacobian
+    # ReLU-clamp the diagonal (reference field.py:114-115)
+    diag = jnp.diagonal(cov_contract, axis1=-2, axis2=-1)  # (..., 3)
+    eye = jnp.eye(3, dtype=mean.dtype)
+    cov_contract = cov_contract + eye * (jax.nn.relu(diag) - diag)[..., None, :]
+    return mean_contract, cov_contract

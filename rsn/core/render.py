@@ -1,0 +1,121 @@
+"""Volumetric compositing renderers as pure functions.
+
+Rebuilds the nerfstudio renderers the reference instantiates at
+reflect_sampling_nerf_model.py:117-124:
+
+- `render_rgb`       — RGBRenderer: weighted sum + background blending;
+                       background may be a fixed color, per-ray colors, or
+                       "random" (the reference's renderer_factor for tint
+                       uses nerfstudio's default random background — a
+                       replicated quirk, driven here by an explicit key).
+- `render_accumulation` — AccumulationRenderer.
+- `render_depth_median` / `render_depth_expected` — DepthRenderer
+                       (reference uses the nerfstudio default "median",
+                       SURVEY.md B#9).
+- `render_normals`   — NormalsRenderer (plain weighted sum).
+- `render_scalar`    — SemanticRenderer, reused for roughness
+                       (model.py:122,226).
+- `blend_background_for_loss_computation` — RGBRenderer's loss-side
+                       background blending.
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+WHITE = jnp.ones(3, dtype=jnp.float32)
+
+
+def render_accumulation(weights: jax.Array) -> jax.Array:
+    """(R, S, 1) -> (R, 1)."""
+    return jnp.sum(weights, axis=-2)
+
+
+def render_rgb(rgb: jax.Array, weights: jax.Array,
+               background_color: Union[jax.Array, str, None] = None,
+               key: Optional[jax.Array] = None,
+               training: bool = True) -> jax.Array:
+    """Composite per-sample rgb (R, S, 3) with weights (R, S, 1) -> (R, 3).
+
+    background_color:
+      None        — no background term (black).
+      array (3,) or (R, 3) — fixed/per-ray background.
+      "random"    — uniform random background per ray (needs `key`).
+    Eval (training=False) additionally nan_to_nums inputs and clips to
+    [0, 1], matching nerfstudio RGBRenderer.forward.
+    """
+    if not training:
+        rgb = jnp.nan_to_num(rgb)
+    comp = jnp.sum(weights * rgb, axis=-2)
+    acc = jnp.sum(weights, axis=-2)
+    if isinstance(background_color, str):
+        assert background_color == "random"
+        assert key is not None, "random background needs a PRNG key"
+        bg = jax.random.uniform(key, comp.shape, dtype=comp.dtype)
+    elif background_color is None:
+        bg = None
+    else:
+        bg = jnp.asarray(background_color, dtype=comp.dtype)
+    if bg is not None:
+        comp = comp + bg * (1.0 - acc)
+    if not training:
+        comp = jnp.clip(comp, 0.0, 1.0)
+    return comp
+
+
+def render_depth_median(weights: jax.Array, starts: jax.Array,
+                        ends: jax.Array) -> jax.Array:
+    """Median depth: first bin midpoint where cumulative weight >= 0.5.
+
+    Matches nerfstudio DepthRenderer(method="median"): searchsorted
+    side="left" on the cumulative weights at 0.5, clamped.
+    (R, S, 1) -> (R, 1).
+    """
+    steps = (starts + ends) / 2.0  # (R, S, 1)
+    cum = jnp.cumsum(weights[..., 0], axis=-1)  # (R, S)
+    idx = jnp.sum((cum < 0.5).astype(jnp.int32), axis=-1, keepdims=True)
+    idx = jnp.clip(idx, 0, steps.shape[-2] - 1)
+    return jnp.take_along_axis(steps[..., 0], idx, axis=-1)
+
+
+def render_depth_expected(weights: jax.Array, starts: jax.Array,
+                          ends: jax.Array, eps: float = 1e-10) -> jax.Array:
+    """Expected depth sum(w*t)/sum(w), clipped to the sampled range."""
+    steps = (starts + ends) / 2.0
+    depth = jnp.sum(weights * steps, axis=-2) / (
+        jnp.sum(weights, axis=-2) + eps)
+    return jnp.clip(depth, steps[..., 0, :].min(-1, keepdims=True),
+                    steps[..., -1, :].max(-1, keepdims=True))
+
+
+def render_normals(normals: jax.Array, weights: jax.Array) -> jax.Array:
+    """(R, S, 3), (R, S, 1) -> (R, 3) plain weighted sum (no renorm)."""
+    return jnp.sum(weights * normals, axis=-2)
+
+
+def render_scalar(values: jax.Array, weights: jax.Array) -> jax.Array:
+    """SemanticRenderer: weighted sum over samples, any channel count."""
+    return jnp.sum(weights * values, axis=-2)
+
+
+def blend_background_for_loss_computation(
+        pred_image: jax.Array, pred_accumulation: jax.Array,
+        gt_image: jax.Array, background_color: jax.Array = WHITE):
+    """RGBRenderer.blend_background_for_loss_computation for a fixed
+    (non-"random"/"last_sample") background color.
+
+    If gt has an alpha channel, blends it against the background; the
+    prediction is returned unchanged (it already saw the bg in compositing).
+    """
+    if gt_image.shape[-1] == 4:
+        rgb, alpha = gt_image[..., :3], gt_image[..., 3:]
+        gt_image = rgb * alpha + background_color * (1.0 - alpha)
+    return pred_image, gt_image
+
+
+def normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """torch.nn.functional.normalize(dim=-1) semantics: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(n, eps)

@@ -1,0 +1,87 @@
+"""Inverse-CDF (PDF) importance resampling.
+
+Rebuilds nerfstudio ``PDFSampler`` semantics (consumed at reference
+reflect_sampling_nerf_model.py:110-112 with ``include_original=False``):
+histogram padding 0.01, zero-weight eps guard 1e-5, stratified u's during
+training / midpoint u's at eval, searchsorted(side="right") into the CDF
+over the *existing* spacing-domain bins, linear re-interpolation, and a
+stop-gradient on the produced bins.
+
+TPU note: the searchsorted is done as a dense broadcast-compare reduction
+(S+1 x S+1 per ray) — this maps onto the VPU as one fused elementwise
+reduce and avoids gather-heavy binary search; at S=128 it is far below
+the MXU work of the field evals it feeds.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rsn.core.rays import RayBundle, RaySamples, get_ray_samples
+from rsn.core.spacing import Spacing, spacing_to_euclidean
+
+HISTOGRAM_PADDING = 0.01
+EPS = 1e-5
+
+
+def pdf_sample(ray_bundle: RayBundle, ray_samples: RaySamples,
+               weights: jax.Array, spacing: Spacing, num_samples: int,
+               key: Optional[jax.Array] = None,
+               single_jitter: bool = False) -> RaySamples:
+    """Resample `num_samples` bins per ray from coarse `weights`.
+
+    Args:
+      weights: (R, S, 1) compositing weights of the existing samples.
+      key: PRNG key for stratified jitter (None => eval midpoints).
+    """
+    num_bins = num_samples + 1
+    w = weights[..., 0] + HISTOGRAM_PADDING  # (R, S)
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)
+    padding = jax.nn.relu(EPS - w_sum)
+    w = w + padding / w.shape[-1]
+    w_sum = w_sum + padding
+
+    pdf = w / w_sum
+    cdf = jnp.minimum(1.0, jnp.cumsum(pdf[..., :-1], axis=-1))
+    cdf = jnp.concatenate([
+        jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1])
+    ], axis=-1)  # (R, S+1)
+
+    u = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins)  # (S'+1,)
+    u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_bins,))
+    if key is not None:
+        if single_jitter:
+            rand = jax.random.uniform(key, cdf.shape[:-1] + (1,)) / num_bins
+        else:
+            rand = jax.random.uniform(key, cdf.shape[:-1] + (num_bins,)) / num_bins
+        u = u + rand
+    else:
+        u = u + 1.0 / (2 * num_bins)
+
+    existing_bins = jnp.concatenate([
+        ray_samples.spacing_starts[..., 0],
+        ray_samples.spacing_ends[..., -1:, 0],
+    ], axis=-1)  # (R, S+1)
+
+    # searchsorted(cdf, u, side="right") as a dense compare-reduce.
+    inds = jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1)
+    n_edges = existing_bins.shape[-1]
+    below = jnp.clip(inds - 1, 0, n_edges - 1)
+    above = jnp.clip(inds, 0, n_edges - 1)
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+
+    denom = cdf_g1 - cdf_g0
+    t = jnp.clip(jnp.nan_to_num(jnp.where(denom > 0, (u - cdf_g0) /
+                                          jnp.where(denom > 0, denom, 1.0),
+                                          0.0)), 0.0, 1.0)
+    bins = bins_g0 + t * (bins_g1 - bins_g0)
+    bins = jax.lax.stop_gradient(bins)  # nerfstudio detaches the bins
+
+    euclidean_bins = spacing_to_euclidean(spacing, ray_bundle, bins)
+    return get_ray_samples(ray_bundle, euclidean_bins, bins)

@@ -1,0 +1,146 @@
+"""Blender-synthetic (NeRF transforms_*.json) and nerfstudio-format
+dataset loaders.
+
+Rebuilds the capability of nerfstudio's ``BlenderDataParser`` (reference
+config at reflect_sampling_nerf_config.py:36: Blender parser, white alpha
+blending) and ``NerfstudioDataParser`` (real captures), returning a
+device-resident dataset:
+
+- images: (N, H, W, 3) float32 in [0,1], RGBA alpha-blended to white
+  (Blender alpha_color="white", the nerfstudio default used here)
+- cameras: stacked pinhole Cameras (fx = 0.5*W / tan(0.5*camera_angle_x)
+  for Blender; per-frame intrinsics for nerfstudio format)
+
+Images are loaded on host with PIL and shipped to device once — the
+steady-state train loop then samples pixels fully on-device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from rsn.data.cameras import Cameras
+
+
+@dataclasses.dataclass
+class Dataset:
+    images: np.ndarray  # (N, H, W, 3) float32
+    cameras: Cameras
+    split: str
+
+
+def _load_image(path: str, downscale: int = 1) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(path)
+    if downscale > 1:
+        img = img.resize((img.width // downscale, img.height // downscale),
+                         Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, axis=-1)
+    if arr.shape[-1] == 4:  # alpha-blend to white (BlenderDataParser default)
+        arr = arr[..., :3] * arr[..., 3:] + (1.0 - arr[..., 3:])
+    return arr[..., :3]
+
+
+def load_blender(data_dir: str, split: str = "train", downscale: int = 1,
+                 scale_factor: float = 1.0,
+                 max_images: Optional[int] = None) -> Dataset:
+    """Load a NeRF-synthetic scene split from transforms_<split>.json."""
+    import jax.numpy as jnp
+
+    with open(os.path.join(data_dir, f"transforms_{split}.json")) as f:
+        meta = json.load(f)
+    frames = meta["frames"]
+    if max_images is not None:
+        frames = frames[:max_images]
+
+    images: List[np.ndarray] = []
+    poses: List[np.ndarray] = []
+    for frame in frames:
+        fname = os.path.join(data_dir, frame["file_path"].replace("./", ""))
+        if not os.path.splitext(fname)[1]:
+            fname = fname + ".png"
+        images.append(_load_image(fname, downscale))
+        poses.append(np.array(frame["transform_matrix"], dtype=np.float32))
+
+    imgs = np.stack(images)  # (N, H, W, 3)
+    poses_np = np.stack(poses)  # (N, 4, 4)
+    poses_np[:, :3, 3] *= scale_factor
+    N, H, W = imgs.shape[:3]
+
+    camera_angle_x = float(meta["camera_angle_x"])
+    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(poses_np[:, :3, :4]),
+        fx=jnp.full((N,), focal, jnp.float32),
+        fy=jnp.full((N,), focal, jnp.float32),
+        cx=jnp.full((N,), W / 2.0, jnp.float32),
+        cy=jnp.full((N,), H / 2.0, jnp.float32),
+        width=W, height=H)
+    return Dataset(images=imgs, cameras=cameras, split=split)
+
+
+def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
+                    train_fraction: float = 0.9,
+                    max_images: Optional[int] = None) -> Dataset:
+    """Load a nerfstudio-format real capture (transforms.json with
+    per-frame intrinsics).  Splits by the nerfstudio convention: every
+    eval_interval-th image to eval (approximated by train_fraction)."""
+    import jax.numpy as jnp
+
+    with open(os.path.join(data_dir, "transforms.json")) as f:
+        meta = json.load(f)
+    frames = meta["frames"]
+    n = len(frames)
+    idx = np.arange(n)
+    n_train = int(round(n * train_fraction))
+    train_idx = np.linspace(0, n - 1, n_train, dtype=int)
+    eval_idx = np.setdiff1d(idx, train_idx)
+    sel = train_idx if split == "train" else eval_idx
+    frames = [frames[i] for i in sel]
+    if max_images is not None:
+        frames = frames[:max_images]
+
+    def gkey(frame, key):
+        return frame.get(key, meta.get(key))
+
+    images, poses, fx, fy, cx, cy = [], [], [], [], [], []
+    for frame in frames:
+        fname = os.path.join(data_dir, frame["file_path"])
+        images.append(_load_image(fname, downscale))
+        poses.append(np.array(frame["transform_matrix"], dtype=np.float32))
+        fx.append(float(gkey(frame, "fl_x")) / downscale)
+        fy.append(float(gkey(frame, "fl_y")) / downscale)
+        cx.append(float(gkey(frame, "cx")) / downscale)
+        cy.append(float(gkey(frame, "cy")) / downscale)
+
+    imgs = np.stack(images)
+    poses_np = np.stack(poses)
+    N, H, W = imgs.shape[:3]
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(poses_np[:, :3, :4]),
+        fx=jnp.asarray(fx, jnp.float32), fy=jnp.asarray(fy, jnp.float32),
+        cx=jnp.asarray(cx, jnp.float32), cy=jnp.asarray(cy, jnp.float32),
+        width=W, height=H)
+    return Dataset(images=imgs, cameras=cameras, split=split)
+
+
+def load_dataset(parser: str, data_dir: str, split: str,
+                 downscale: int = 1, scale_factor: float = 1.0,
+                 max_images: Optional[int] = None) -> Dataset:
+    if parser == "blender":
+        return load_blender(data_dir, split, downscale, scale_factor,
+                            max_images)
+    if parser == "nerfstudio":
+        return load_nerfstudio(data_dir, split, downscale,
+                               max_images=max_images)
+    if parser == "synthetic":
+        from rsn.data.synthetic import make_synthetic_dataset
+        return make_synthetic_dataset(split=split)
+    raise ValueError(f"unknown dataparser: {parser}")

@@ -1,0 +1,129 @@
+"""Procedural synthetic dataset for tests and benchmarks.
+
+No network access and no bundled Blender scenes exist in this
+environment, so integration tests and the benchmark train against an
+analytically-rendered scene: a diffuse Lambertian sphere at the origin on
+a white background, viewed from cameras on a radius-4 ring (the Blender
+camera geometry: near 2 / far 6 covers the unit sphere).  The scene is
+simple enough that a short NeRF fit must visibly drop the loss, which is
+exactly what the reference repo's own (manual) quality signal was.
+
+Also writes a transforms_*.json + PNG tree (`write_blender_scene`) so the
+Blender dataparser path is exercised end-to-end by tests.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from rsn.data.blender import Dataset
+from rsn.data.cameras import Cameras
+
+SPHERE_RADIUS = 1.0
+SPHERE_COLOR = np.array([0.8, 0.3, 0.2], np.float32)
+LIGHT_DIR = np.array([0.577, 0.577, 0.577], np.float32)
+
+
+def _look_at_pose(eye: np.ndarray) -> np.ndarray:
+    """OpenGL-style camera-to-world looking at the origin (z = backward)."""
+    forward = eye / np.linalg.norm(eye)  # camera +z points away from target
+    up = np.array([0.0, 0.0, 1.0], np.float32)
+    if abs(np.dot(up, forward)) > 0.99:
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(up, forward)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(forward, right)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0] = right
+    pose[:3, 1] = true_up
+    pose[:3, 2] = forward
+    pose[:3, 3] = eye
+    return pose
+
+
+def _render_sphere(pose: np.ndarray, H: int, W: int,
+                   focal: float) -> np.ndarray:
+    """Analytic ray-traced Lambertian sphere, white background."""
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    d_cam = np.stack([(xs - W / 2.0) / focal, -(ys - H / 2.0) / focal,
+                      -np.ones_like(xs)], axis=-1)
+    d = d_cam @ pose[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+
+    b = 2.0 * np.sum(d * o, axis=-1)
+    c = float(np.dot(o, o)) - SPHERE_RADIUS**2
+    disc = b**2 - 4.0 * c
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0, 0.0)
+    hit &= t > 0
+    p = o + d * t[..., None]
+    n = p / max(SPHERE_RADIUS, 1e-9)
+    lam = np.clip(np.sum(n * LIGHT_DIR, axis=-1), 0.0, 1.0)
+    shade = (0.25 + 0.75 * lam)[..., None] * SPHERE_COLOR
+    img = np.where(hit[..., None], shade, 1.0).astype(np.float32)
+    return img
+
+
+def make_synthetic_dataset(num_cameras: int = 12, H: int = 64, W: int = 64,
+                           split: str = "train") -> Dataset:
+    import jax.numpy as jnp
+
+    camera_angle_x = 0.6911112070083618  # lego's fov, ~39.6 deg
+    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+    phase = 0.0 if split == "train" else 0.5 * (2 * np.pi / max(num_cameras, 1))
+    images, poses = [], []
+    for i in range(num_cameras):
+        theta = 2.0 * np.pi * i / num_cameras + phase
+        z = 1.2 + 0.8 * np.sin(3 * theta + 1.0)
+        eye = np.array([4.0 * np.cos(theta), 4.0 * np.sin(theta), z],
+                       np.float32)
+        eye *= 4.0 / np.linalg.norm(eye)
+        pose = _look_at_pose(eye)
+        images.append(_render_sphere(pose, H, W, focal))
+        poses.append(pose)
+
+    imgs = np.stack(images)
+    poses_np = np.stack(poses)
+    N = num_cameras
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(poses_np[:, :3, :4]),
+        fx=jnp.full((N,), focal, jnp.float32),
+        fy=jnp.full((N,), focal, jnp.float32),
+        cx=jnp.full((N,), W / 2.0, jnp.float32),
+        cy=jnp.full((N,), H / 2.0, jnp.float32),
+        width=W, height=H)
+    return Dataset(images=imgs, cameras=cameras, split=split)
+
+
+def write_blender_scene(out_dir: str, num_cameras: int = 6, H: int = 32,
+                        W: int = 32) -> str:
+    """Write a tiny Blender-format scene tree (for dataparser tests)."""
+    from PIL import Image
+
+    camera_angle_x = 0.6911112070083618
+    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+    for split, phase in (("train", 0.0), ("val", 0.3), ("test", 0.6)):
+        frames = []
+        img_dir = os.path.join(out_dir, split)
+        os.makedirs(img_dir, exist_ok=True)
+        for i in range(num_cameras):
+            theta = 2 * np.pi * i / num_cameras + phase
+            eye = np.array([4 * np.cos(theta), 4 * np.sin(theta), 1.5],
+                           np.float32)
+            eye *= 4.0 / np.linalg.norm(eye)
+            pose = _look_at_pose(eye)
+            img = _render_sphere(pose, H, W, focal)
+            rel = f"./{split}/r_{i}"
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, rel.replace("./", "") + ".png"))
+            frames.append({"file_path": rel,
+                           "transform_matrix": pose.tolist()})
+        with open(os.path.join(out_dir, f"transforms_{split}.json"),
+                  "w") as f:
+            json.dump({"camera_angle_x": camera_angle_x, "frames": frames},
+                      f)
+    return out_dir

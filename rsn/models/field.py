@@ -1,0 +1,217 @@
+"""The reflect-sampling NeRF field: trunk MLP + decomposed heads.
+
+Rebuilds the reference ``ReflectSamplingNeRFNerfField``
+(reflect_sampling_nerf_field.py:28-207) as pure functions over a params
+pytree.  The decomposed per-head API is kept (one trunk evaluation shared
+by many heads via the returned embedding — reference field.py:90-207):
+
+  trunk:  MLP 8x256, skip at layer 4 (input re-concatenated), ReLU out
+  heads:  density(+0.5 bias, softplus), bottleneck 256->256,
+          mid-MLP 1x128 on [ISH(34) || bottleneck(256)] -> RGB sigmoid,
+          pred-normals = -normalize(linear), roughness (caller-chosen
+          sigmoid/softplus; the declared roughness_bias is never applied —
+          replicated quirk, SURVEY.md B#7), diffuse RGB, tint RGB, and the
+          dead `low` head kept for checkpoint-shape parity (SURVEY.md B#8).
+
+Parameter init replicates torch.nn.Linear defaults
+(U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both W and b) so training dynamics
+match the reference.  Weights are stored (in, out) for x @ W.
+
+TPU notes: all sample batches are flattened to (N, C) before the trunk so
+XLA sees one large matmul chain per pass (MXU-shaped: N x 256 x 256);
+`compute_dtype=bfloat16` casts matmul operands while keeping params,
+accumulation and everything outside the trunk in fp32.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rsn.core.encodings import (IPE_OUT_DIM, ISH_OUT_DIM, ipe_encode,
+                                ish_encode)
+from rsn.core.render import normalize
+
+Params = Dict[str, Any]
+
+TRUNK_WIDTH = 256
+TRUNK_LAYERS = 8
+SKIP_AT = 4
+MID_WIDTH = 128
+DENSITY_BIAS = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    compute_dtype: Any = jnp.float32  # bf16 for the trunk matmuls if set
+    sh_l8_m7_2x: bool = True  # replicate reference SH bug (SURVEY.md B#1)
+
+
+def _linear_init(key: jax.Array, in_dim: int, out_dim: int) -> Params:
+    bound = 1.0 / jnp.sqrt(in_dim)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), jnp.float32,
+                                -bound, bound),
+        "b": jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound),
+    }
+
+
+def init_field_params(key: jax.Array) -> Params:
+    keys = jax.random.split(key, 16)
+    trunk = []
+    in_dim = IPE_OUT_DIM
+    for i in range(TRUNK_LAYERS):
+        d_in = TRUNK_WIDTH if i > 0 else in_dim
+        if i == SKIP_AT:
+            d_in = TRUNK_WIDTH + in_dim
+        trunk.append(_linear_init(keys[i], d_in, TRUNK_WIDTH))
+    return {
+        "trunk": trunk,
+        "density": _linear_init(keys[8], TRUNK_WIDTH, 1),
+        "low": _linear_init(keys[9], TRUNK_WIDTH, 3),  # dead head, ckpt parity
+        "bottleneck": _linear_init(keys[10], TRUNK_WIDTH, TRUNK_WIDTH),
+        "mid_mlp": _linear_init(keys[11], ISH_OUT_DIM + TRUNK_WIDTH,
+                                MID_WIDTH),
+        "mid": _linear_init(keys[12], MID_WIDTH, 3),
+        "normals": _linear_init(keys[13], TRUNK_WIDTH, 3),
+        "roughness": _linear_init(keys[14], TRUNK_WIDTH, 1),
+        "diff": _linear_init(keys[15], TRUNK_WIDTH, 3),
+        "tint": _linear_init(jax.random.fold_in(key, 99), TRUNK_WIDTH, 3),
+    }
+
+
+def _dense(p: Params, x: jax.Array, dtype=None) -> jax.Array:
+    if dtype is not None and dtype != jnp.float32:
+        y = jax.lax.dot_general(
+            x.astype(dtype), p["w"].astype(dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y + p["b"]
+    return x @ p["w"] + p["b"]
+
+
+def mlp_base(params: Params, x: jax.Array,
+             dtype=jnp.float32) -> jax.Array:
+    """Trunk: 8 linears, ReLU between + at out, input re-concat at layer 4."""
+    h = x
+    for i, layer in enumerate(params["trunk"]):
+        if i == SKIP_AT:
+            h = jnp.concatenate([x, h], axis=-1)
+        h = _dense(layer, h, dtype)
+        h = jax.nn.relu(h)  # inner activation; final layer also ReLU'd
+    return h
+
+
+def get_density(params: Params, mean: jax.Array,
+                cov: Optional[jax.Array] = None,
+                cfg: FieldConfig = FieldConfig()):
+    """-> (density, embedding, density_preact).
+
+    density = softplus(linear(trunk(IPE(mean, cov))) + 0.5)
+    (reference field.py:122-137; the +0.5 density_bias IS applied).
+    """
+    if cov is not None:
+        cov_diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
+        enc = ipe_encode(mean, cov_diag=cov_diag)
+    else:
+        enc = ipe_encode(mean)
+    emb = mlp_base(params, enc, cfg.compute_dtype)
+    preact = _dense(params["density"], emb)
+    density = jax.nn.softplus(preact + DENSITY_BIAS)
+    return density, emb, preact
+
+
+def get_analytic_normals(params: Params, mean: jax.Array,
+                         cov: jax.Array,
+                         cfg: FieldConfig = FieldConfig()) -> jax.Array:
+    """normals = -normalize(grad of pre-activation density wrt contracted
+    mean), holding cov fixed — matches the reference's autograd path
+    (field.py:125-135,146-147 + nerfstudio Field.get_normals).
+
+    The result is used only as a (detached) regularization target
+    (model.py:250-251), so the whole computation sits under stop_gradient.
+    """
+    def preact_sum(m):
+        _, _, preact = get_density(params, m, cov, cfg)
+        return jnp.sum(preact)
+
+    g = jax.grad(preact_sum)(mean)
+    return jax.lax.stop_gradient(-normalize(g))
+
+
+def get_pred_normals(params: Params, embedding: jax.Array) -> jax.Array:
+    """-normalize(linear(embedding))  (reference field.py:139-144)."""
+    return normalize(-_dense(params["normals"], embedding))
+
+
+def get_roughness(params: Params, embedding: jax.Array,
+                  activation: Callable = jax.nn.sigmoid) -> jax.Array:
+    """Roughness head; caller picks sigmoid (ray-level) or softplus
+    (per-sample into ISH).  roughness_bias intentionally NOT applied
+    (replicates reference field.py:150-155, SURVEY.md B#7)."""
+    return activation(_dense(params["roughness"], embedding))
+
+
+def get_mid(params: Params, directions: jax.Array, roughness: jax.Array,
+            embedding: jax.Array, use_bottleneck: bool = True,
+            cfg: FieldConfig = FieldConfig()) -> jax.Array:
+    """Directional branch: sigmoid(mid(relu(linear([ISH || bottleneck]))))."""
+    enc = ish_encode(directions, roughness, cfg.sh_l8_m7_2x)
+    if use_bottleneck:
+        embedding = _dense(params["bottleneck"], embedding)
+    h = jax.nn.relu(_dense(params["mid_mlp"],
+                           jnp.concatenate([enc, embedding], axis=-1)))
+    return jax.nn.sigmoid(_dense(params["mid"], h))
+
+
+def get_low(params: Params, embedding: jax.Array,
+            use_bottleneck: bool = True) -> jax.Array:
+    """Zero-direction readout (dead code in the reference, kept for parity
+    with field.py:158-164)."""
+    if use_bottleneck:
+        embedding = _dense(params["bottleneck"], embedding)
+    zeros = jnp.zeros(embedding.shape[:-1] + (ISH_OUT_DIM,),
+                      dtype=embedding.dtype)
+    h = jax.nn.relu(_dense(params["mid_mlp"],
+                           jnp.concatenate([zeros, embedding], axis=-1)))
+    return jax.nn.sigmoid(_dense(params["mid"], h))
+
+
+def get_diff(params: Params, embedding: jax.Array) -> jax.Array:
+    return jax.nn.sigmoid(_dense(params["diff"], embedding))
+
+
+def get_tint(params: Params, embedding: jax.Array) -> jax.Array:
+    return jax.nn.sigmoid(_dense(params["tint"], embedding))
+
+
+def get_inf_color(params: Params, directions: jax.Array,
+                  sqradius: jax.Array,
+                  cfg: FieldConfig = FieldConfig()) -> jax.Array:
+    """Far-field radiance read out of the SAME field on the contraction
+    boundary sphere: mean = 2*d, cov = 0.6*sqradius*(I - d d^T), zero
+    directional encoding (reference field.py:190-201)."""
+    outer = directions[..., :, None] * directions[..., None, :]
+    eye = jnp.eye(3, dtype=directions.dtype)
+    mean = 2.0 * directions
+    cov = 0.6 * sqradius[..., None] * (eye - outer)
+    _, emb, _ = get_density(params, mean, cov, cfg)
+    emb = _dense(params["bottleneck"], emb)
+    zeros = jnp.zeros(emb.shape[:-1] + (ISH_OUT_DIM,), dtype=emb.dtype)
+    h = jax.nn.relu(_dense(params["mid_mlp"],
+                           jnp.concatenate([zeros, emb], axis=-1)))
+    return jax.nn.sigmoid(_dense(params["mid"], h))
+
+
+def get_reflection(directions: jax.Array, normals: jax.Array):
+    """Mirror reflection + n.d (reference field.py:203-207)."""
+    n_dot_d = jnp.sum(directions * normals, axis=-1, keepdims=True)
+    reflections = directions - 2.0 * n_dot_d * normals
+    return normalize(reflections), n_dot_d
+
+
+def num_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

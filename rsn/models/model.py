@@ -1,0 +1,260 @@
+"""The 4-pass reflect-sampling NeRF renderer + losses.
+
+Rebuilds the reference ``ReflectSamplingNeRFModel.get_outputs`` /
+``get_loss_dict`` (reflect_sampling_nerf_model.py:142-430) as pure,
+fixed-shape, jittable functions:
+
+  pass 1  coarse:  128 stratified-uniform samples in [near=2, far=6]
+  pass 2  fine:    128 PDF samples from coarse weights (include_original=False)
+  pass 3  reflect coarse: 64 reciprocal-spaced (tan=0.25) samples on
+          secondary rays spawned from the fine surface estimate
+  pass 4  reflect fine:   64 PDF samples from pass-3 weights
+
+TPU-first redesign vs the reference:
+- The reference boolean-gathers the masked ray subset and early-returns
+  when it is empty (model.py:229-260) — data-dependent shapes.  Here the
+  reflected passes run for ALL rays at fixed shape and the mask selects
+  between the reflected result and the background fill with `jnp.where`;
+  values and gradients are identical to the reference's gather/scatter
+  (unselected branches contribute exactly zero gradient).
+- Host-sync prints (model.py:230,262-265,342) are dropped; debug telemetry
+  is available via `jax.debug.print` behind a flag in the trainer.
+- stop_gradient placements replicate the reference's .detach() pattern
+  exactly (ray-level diff/tint/pred-normals/n_dot_d, reflected weights,
+  roughness into ISH, reflected ray origins/directions, PDF bins).
+
+All rng is explicit: a single key per step is split into the stratified /
+PDF-jitter / random-background consumers.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rsn.configs import ModelConfig
+from rsn.core import rays as rays_lib
+from rsn.core.contract import contract
+from rsn.core.rays import RayBundle
+from rsn.core.render import (WHITE, blend_background_for_loss_computation,
+                             normalize, render_accumulation,
+                             render_depth_median, render_normals, render_rgb,
+                             render_scalar)
+from rsn.core.sampling import pdf_sample
+from rsn.core.spacing import (identity_spacing, reciprocal_spacing,
+                              spaced_sample)
+from rsn.models import field as field_lib
+from rsn.models.field import FieldConfig, Params
+
+sg = jax.lax.stop_gradient
+
+
+def _field_cfg(cfg: ModelConfig) -> FieldConfig:
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return FieldConfig(compute_dtype=dtype,
+                       sh_l8_m7_2x=cfg.bug_compat.sh_l8_m7_2x)
+
+
+def apply_collider(ray_bundle: RayBundle, cfg: ModelConfig) -> RayBundle:
+    """NearFarCollider: constant near/far planes (base Model behavior;
+    collider_params near 2.0 / far 6.0 asserted at model.py:89-91)."""
+    ones = jnp.ones_like(ray_bundle.origins[..., :1])
+    return ray_bundle.replace(nears=ones * cfg.collider_near_plane,
+                              fars=ones * cfg.collider_far_plane)
+
+
+def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
+                  training: bool):
+    """Shared body of passes 1 & 2: field evals + per-sample heads."""
+    mean, cov = rays_lib.get_gaussian_blob(ray_samples)
+    mean, cov = contract(mean, cov)
+    density, emb, _ = field_lib.get_density(params, mean, cov, fcfg)
+    weights = ray_samples.get_weights(density)
+
+    pred_normals = field_lib.get_pred_normals(params, emb)
+    if training:
+        normals = field_lib.get_analytic_normals(params, mean, cov, fcfg)
+    else:
+        normals = sg(pred_normals)
+    dirs = ray_samples.directions
+    reflections, n_dot_d = field_lib.get_reflection(dirs, pred_normals)
+
+    diff = field_lib.get_diff(params, emb)
+    tint = field_lib.get_tint(params, emb)
+    rough_sp = field_lib.get_roughness(params, emb, jax.nn.softplus)
+    mid = field_lib.get_mid(params, dirs, sg(rough_sp), emb, True, fcfg)
+    mid = diff + tint * mid
+    return dict(weights=weights, emb=emb, pred_normals=pred_normals,
+                normals=normals, reflections=reflections, n_dot_d=n_dot_d,
+                diff=diff, tint=tint, mid=mid)
+
+
+def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
+                  training: bool):
+    """Shared body of passes 3 & 4: reflected radiance with detached
+    weights (model.py:292-313, 317-339)."""
+    mean, cov = rays_lib.get_gaussian_blob(ray_samples)
+    mean, cov = contract(mean, cov)
+    density, emb, _ = field_lib.get_density(params, mean, cov, fcfg)
+    weights = sg(ray_samples.get_weights(density))
+
+    diff = field_lib.get_diff(params, emb)
+    tint = field_lib.get_tint(params, emb)
+    rough_sp = field_lib.get_roughness(params, emb, jax.nn.softplus)
+    mid = field_lib.get_mid(params, ray_samples.directions, sg(rough_sp),
+                            emb, True, fcfg)
+    rgb = diff + tint * mid
+    composited = render_rgb(rgb, weights, background_color=bg_color,
+                            training=training)
+    return weights, composited
+
+
+def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
+                cfg: ModelConfig, training: bool) -> Dict[str, jax.Array]:
+    """The 4-pass render. ray_bundle must already be collided."""
+    fcfg = _field_cfg(cfg)
+    k_uni, k_pdf, k_tint, k_recip, k_refl_pdf = jax.random.split(key, 5)
+    strat = lambda k: k if training else None
+    uniform = identity_spacing()
+    white = jnp.asarray(WHITE)
+
+    # ---- pass 1: coarse (model.py:148-177) ----
+    rs_uniform = spaced_sample(ray_bundle, uniform, cfg.num_coarse_samples,
+                               key=strat(k_uni))
+    c = _primary_pass(params, rs_uniform, fcfg, training)
+    accumulation_coarse = render_accumulation(c["weights"])
+    depth_coarse = render_depth_median(c["weights"], rs_uniform.starts,
+                                       rs_uniform.ends)
+    mid_rgb_coarse = jnp.clip(
+        render_rgb(c["mid"], c["weights"], white, training=training),
+        0.0, 1.0)
+
+    # ---- pass 2: fine (model.py:182-227) ----
+    rs_pdf = pdf_sample(ray_bundle, rs_uniform, c["weights"], uniform,
+                        cfg.num_importance_samples, key=strat(k_pdf))
+    f = _primary_pass(params, rs_pdf, fcfg, training)
+    accumulation_fine = render_accumulation(f["weights"])
+    depth_fine = render_depth_median(f["weights"], rs_pdf.starts, rs_pdf.ends)
+    mid_rgb_fine = jnp.clip(
+        render_rgb(f["mid"], f["weights"], white, training=training),
+        0.0, 1.0)
+
+    # ray-level composites feeding the reflected pass (model.py:215-227)
+    diff_fine = sg(render_rgb(f["diff"], f["weights"], white,
+                              training=training))
+    tint_bg = "random" if cfg.bug_compat.tint_random_background else None
+    tint_fine = sg(render_rgb(f["tint"], f["weights"], tint_bg, key=k_tint,
+                              training=training))
+    pred_normals_fine = sg(render_normals(f["pred_normals"], f["weights"]))
+    n_dot_d = sg(jnp.sum(pred_normals_fine * ray_bundle.directions,
+                         axis=-1, keepdims=True))
+    rough_sig = field_lib.get_roughness(params, f["emb"], jax.nn.sigmoid)
+    roughness = render_scalar(rough_sig, f["weights"])  # live grad
+
+    mask = jnp.logical_and(
+        accumulation_fine > cfg.mask_accumulation_threshold,
+        n_dot_d < 0).reshape(-1)  # (R,)
+
+    # ---- reflected ray bundle (model.py:267-290) ----
+    origins = sg(ray_bundle.origins + depth_fine * ray_bundle.directions)
+    reflections = sg(normalize(
+        ray_bundle.directions - 2.0 * n_dot_d * pred_normals_fine))
+    sqradius = 2.0 * jnp.abs(n_dot_d) * roughness**2  # grad via roughness
+    near = 0.0 if cfg.bug_compat.reflect_near_zero else cfg.reflect_near
+    ones = jnp.ones_like(depth_fine)
+    reflect_bundle = RayBundle(
+        origins=origins, directions=reflections,
+        pixel_area=jnp.pi * sqradius,
+        nears=ones * near, fars=ones * cfg.reflect_far)
+    background_color = field_lib.get_inf_color(params, reflections,
+                                               sqradius, fcfg)
+
+    # ---- pass 3: reflected coarse (model.py:292-313) ----
+    recip = reciprocal_spacing(cfg.reciprocal_tan)
+    rs_recip = spaced_sample(reflect_bundle, recip,
+                             cfg.num_reflect_coarse_samples,
+                             key=strat(k_recip))
+    w_refl_coarse, mid_reflect_coarse_in = _reflect_pass(
+        params, rs_recip, background_color, fcfg, training)
+    bg_fill = white * (1.0 - accumulation_fine)  # live acc (model.py:240-241)
+    mask_col = mask[:, None]
+    mid_reflect_coarse = jnp.where(
+        mask_col,
+        jnp.clip(diff_fine + tint_fine * mid_reflect_coarse_in, 0.0, 1.0),
+        bg_fill)
+
+    # ---- pass 4: reflected fine (model.py:317-341) ----
+    rs_refl_pdf = pdf_sample(reflect_bundle, rs_recip, w_refl_coarse, recip,
+                             cfg.num_reflect_importance_samples,
+                             key=strat(k_refl_pdf))
+    w_refl_fine, mid_reflect_fine_in = _reflect_pass(
+        params, rs_refl_pdf, background_color, fcfg, training)
+    mid_reflect_fine = jnp.where(
+        mask_col,
+        jnp.clip(diff_fine + tint_fine * mid_reflect_fine_in, 0.0, 1.0),
+        bg_fill)
+    depth_reflect_fine = render_depth_median(
+        w_refl_fine, rs_refl_pdf.starts, rs_refl_pdf.ends)
+
+    return {
+        "mid_rgb_coarse": mid_rgb_coarse,
+        "mid_rgb_fine": mid_rgb_fine,
+        "mid_reflect_coarse": mid_reflect_coarse,
+        "mid_reflect_fine": mid_reflect_fine,
+        "accumulation_coarse": sg(accumulation_coarse),
+        "accumulation_fine": sg(accumulation_fine),
+        "depth_coarse": sg(depth_coarse),
+        "depth_fine": sg(depth_fine),
+        "weights_coarse": sg(c["weights"]),
+        "weights_fine": sg(f["weights"]),
+        "pred_normals_coarse": c["pred_normals"],
+        "pred_normals_fine": f["pred_normals"],
+        "normals_coarse": sg(c["normals"]),
+        "normals_fine": sg(f["normals"]),
+        "n_dot_d_coarse": c["n_dot_d"],
+        "n_dot_d_fine": f["n_dot_d"],
+        "diff": diff_fine,
+        "tint": tint_fine,
+        "roughness": roughness,
+        "mask": mask,
+        # always emitted at fixed shape; valid only where mask (SURVEY B#10)
+        "depth_reflect_fine": depth_reflect_fine,
+    }
+
+
+def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
+                  coefficients: Dict[str, float]) -> Dict[str, jax.Array]:
+    """The 8 active losses (model.py:346-430), scaled by `coefficients`.
+
+    gt_image: (R, 3) or (R, 4); RGBA is background-blended like
+    RGBRenderer.blend_background_for_loss_computation (WHITE bg).
+    """
+    def mse(a, b):
+        return jnp.mean((a - b) ** 2)
+
+    pred_mid_coarse, gt_rgb = blend_background_for_loss_computation(
+        outputs["mid_rgb_coarse"], outputs["accumulation_coarse"], gt_image)
+    losses = {
+        "loss_mid_coarse": mse(gt_rgb, pred_mid_coarse),
+        "loss_mid_fine": mse(gt_rgb, outputs["mid_rgb_fine"]),
+        "loss_reflect_mid_coarse": mse(gt_rgb, outputs["mid_reflect_coarse"]),
+        "loss_reflect_mid_fine": mse(gt_rgb, outputs["mid_reflect_fine"]),
+        # sums, not means (model.py:403-407); weights/normals detached,
+        # pred_normals & n_dot_d live
+        "predicted_normal_loss_coarse": jnp.sum(
+            outputs["weights_coarse"] * jnp.sum(
+                (outputs["normals_coarse"] - outputs["pred_normals_coarse"])
+                ** 2, axis=-1, keepdims=True)),
+        "predicted_normal_loss_fine": jnp.sum(
+            outputs["weights_fine"] * jnp.sum(
+                (outputs["normals_fine"] - outputs["pred_normals_fine"]) ** 2,
+                axis=-1, keepdims=True)),
+        "orientation_loss_coarse": jnp.sum(
+            outputs["weights_coarse"]
+            * jax.nn.relu(outputs["n_dot_d_coarse"]) ** 2),
+        "orientation_loss_fine": jnp.sum(
+            outputs["weights_fine"]
+            * jax.nn.relu(outputs["n_dot_d_fine"]) ** 2),
+    }
+    return {k: v * coefficients[k] for k, v in losses.items()}
