@@ -22,9 +22,13 @@ import jax.numpy as jnp
 def contract(mean: jax.Array, cov: jax.Array):
     """Contract Gaussian (mean (..., 3), cov (..., 3, 3)) into radius-2 ball."""
     norm2 = jnp.sum(mean**2, axis=-1, keepdims=True)  # (..., 1)
-    norm = jnp.sqrt(norm2)
-    mask = norm > 1.0
-    safe_norm2 = jnp.where(norm2 > 0, norm2, 1.0)
+    mask = norm2 > 1.0
+    # the outside-ball branch is only *selected* when norm > 1, so its
+    # denominators can be clamped to >= 1 without changing any selected
+    # value — this keeps jnp.where's unselected-branch gradients finite
+    # (otherwise 1/norm2^2 overflows near the origin and 0*inf => NaN)
+    safe_norm2 = jnp.maximum(norm2, 1.0)
+    norm = jnp.sqrt(safe_norm2)
     mean_contract = jnp.where(mask, (2.0 * norm - 1.0) / safe_norm2 * mean,
                               mean)
 

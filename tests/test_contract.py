@@ -1,0 +1,86 @@
+"""Oracle tests for the mip-NeRF-360 contraction (SURVEY.md §4.1, A.1).
+
+The torch oracle re-derives the reference's contraction math
+(reflect_sampling_nerf_field.py:98-119) independently and checks our JAX
+implementation against it, including the hand-written Jacobian vs
+torch.autograd's ground truth.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from rsn.core.contract import contract
+
+
+def torch_contract_mean(x: torch.Tensor) -> torch.Tensor:
+    """Oracle: c(x) = x if |x|<=1 else (2|x|-1)/|x|^2 * x."""
+    n = torch.linalg.norm(x, dim=-1, keepdim=True)
+    return torch.where(n > 1, (2 * n - 1) / n**2 * x, x)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_mean_contraction_matches_oracle(rng):
+    x = rng.normal(0, 2.0, size=(256, 3)).astype(np.float32)
+    cov = np.einsum("ni,nj->nij",
+                    rng.normal(0, 0.1, (256, 3)),
+                    rng.normal(0, 0.1, (256, 3))).astype(np.float32)
+    cov = cov + cov.transpose(0, 2, 1) + 0.5 * np.eye(3, dtype=np.float32)
+    mean_j, _ = contract(jnp.asarray(x), jnp.asarray(cov))
+    mean_t = torch_contract_mean(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_contracted_norm_is_2_minus_inv_norm(rng):
+    x = rng.normal(0, 3.0, size=(128, 3)).astype(np.float32)
+    norms = np.linalg.norm(x, axis=-1)
+    keep = norms > 1
+    x = x[keep]
+    norms = norms[keep]
+    mean_j, _ = contract(jnp.asarray(x), jnp.zeros((x.shape[0], 3, 3)))
+    got = np.linalg.norm(np.asarray(mean_j), axis=-1)
+    np.testing.assert_allclose(got, 2.0 - 1.0 / norms, rtol=1e-5)
+
+
+def test_cov_transform_matches_autograd_jacobian(rng):
+    """cov' = J cov J^T with J from torch.autograd on the oracle mean map."""
+    x = rng.normal(0, 2.0, size=(32, 3)).astype(np.float32)
+    a = rng.normal(0, 0.2, (32, 3, 3)).astype(np.float32)
+    cov = np.einsum("nij,nkj->nik", a, a)  # PSD
+
+    _, cov_j = contract(jnp.asarray(x), jnp.asarray(cov))
+
+    for i in range(x.shape[0]):
+        xi = torch.tensor(x[i], requires_grad=True)
+        J = torch.autograd.functional.jacobian(torch_contract_mean, xi)
+        expected = J.numpy() @ cov[i] @ J.numpy().T
+        d = np.maximum(np.diagonal(expected), 0.0)
+        expected = expected - np.diag(np.diagonal(expected)) + np.diag(d)
+        np.testing.assert_allclose(np.asarray(cov_j[i]), expected,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_inside_ball_is_identity(rng):
+    x = (rng.uniform(-0.5, 0.5, (64, 3))).astype(np.float32)
+    cov = np.tile(np.eye(3, dtype=np.float32) * 0.01, (64, 1, 1))
+    mean_j, cov_j = contract(jnp.asarray(x), jnp.asarray(cov))
+    np.testing.assert_allclose(np.asarray(mean_j), x, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(cov_j), cov, atol=1e-7)
+
+
+def test_zero_mean_no_nan():
+    x = jnp.zeros((4, 3))
+    cov = jnp.tile(jnp.eye(3)[None] * 0.1, (4, 1, 1))
+    mean_j, cov_j = contract(x, cov)
+    assert bool(jnp.isfinite(mean_j).all())
+    assert bool(jnp.isfinite(cov_j).all())
+    # gradient safety through the unselected branch
+    g = jax.grad(lambda m: jnp.sum(contract(m, cov)[0]))(x)
+    assert bool(jnp.isfinite(g).all())

@@ -1,0 +1,73 @@
+"""Data layer tests: Blender dataparser round-trip through a written
+scene tree, camera ray generation conventions, pixel_area finite
+differences, and the synthetic scene's geometry invariants.
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from rsn.data.blender import load_blender
+from rsn.data.cameras import generate_image_rays, generate_rays
+from rsn.data.synthetic import make_synthetic_dataset, write_blender_scene
+
+
+def test_blender_roundtrip(tmp_path):
+    out = write_blender_scene(str(tmp_path), num_cameras=3, H=16, W=16)
+    ds = load_blender(out, "train")
+    assert ds.images.shape == (3, 16, 16, 3)
+    assert ds.images.min() >= 0 and ds.images.max() <= 1
+    assert ds.cameras.num_cameras == 3
+    # focal from camera_angle_x
+    assert abs(float(ds.cameras.fx[0])
+               - 0.5 * 16 / np.tan(0.5 * 0.6911112070083618)) < 1e-3
+    ds_val = load_blender(out, "val")
+    assert ds_val.images.shape[0] == 3
+
+
+def test_ray_directions_unit_and_through_center():
+    ds = make_synthetic_dataset(num_cameras=2, H=32, W=32)
+    o, d, pa = generate_rays(ds.cameras, jnp.asarray([0, 1]),
+                             jnp.asarray([15, 15]), jnp.asarray([15, 15]))
+    d = np.asarray(d)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, rtol=1e-6)
+    # cameras look at the origin; the (almost) central ray must pass near it
+    o = np.asarray(o)
+    t = -np.sum(o * d, axis=-1)
+    closest = o + t[:, None] * d
+    assert np.linalg.norm(closest, axis=-1).max() < 0.3
+    assert np.asarray(pa).min() > 0
+
+
+def test_pixel_area_matches_neighbor_differences():
+    """pixel_area = |d(x+1)-d(x)| * |d(y+1)-d(y)| of normalized dirs
+    (nerfstudio convention, SURVEY.md §2.2 RayBundle row)."""
+    ds = make_synthetic_dataset(num_cameras=1, H=16, W=16)
+    cam = ds.cameras
+    idx = jnp.asarray([0])
+    y = jnp.asarray([8])
+    x = jnp.asarray([4])
+    _, d0, pa = generate_rays(cam, idx, y, x)
+    _, dx, _ = generate_rays(cam, idx, y, x + 1)
+    _, dy, _ = generate_rays(cam, idx, y + 1, x)
+    ex = np.linalg.norm(np.asarray(d0 - dx))
+    ey = np.linalg.norm(np.asarray(d0 - dy))
+    np.testing.assert_allclose(float(pa[0, 0]), ex * ey, rtol=1e-4)
+
+
+def test_generate_image_rays_row_major():
+    ds = make_synthetic_dataset(num_cameras=1, H=8, W=8)
+    o, d, pa = generate_image_rays(ds.cameras, 0)
+    assert d.shape == (64, 3)
+    o1, d1, _ = generate_rays(ds.cameras, jnp.asarray([0]), jnp.asarray([1]),
+                              jnp.asarray([2]))
+    np.testing.assert_allclose(np.asarray(d)[1 * 8 + 2], np.asarray(d1)[0],
+                               rtol=1e-6)
+
+
+def test_synthetic_scene_sphere_visible():
+    ds = make_synthetic_dataset(num_cameras=4, H=32, W=32)
+    # sphere occupies the image center; background is white
+    imgs = ds.images
+    assert (imgs[:, 0, 0] > 0.99).all()  # corners: white background
+    center = imgs[:, 14:18, 14:18]
+    assert center.mean() < 0.9  # sphere is darker than background
