@@ -1,0 +1,104 @@
+"""Benchmark: train + render throughput of the full 4-pass model.
+
+Prints ONE JSON line:
+  {"metric": "rays/sec/chip (train + render)", "value": N,
+   "unit": "rays/s", "vs_baseline": N / 250000}
+
+Baseline: BASELINE.json's north star is 2M rays/s on a v5e-8 pod =
+250k rays/s/chip; vs_baseline > 1 beats it.  The reference publishes no
+numbers of its own (BASELINE.md).
+
+Reference-default workload: 1024 rays/batch, 128+128 primary and 64+64
+reflected samples per ray (reflect_sampling_nerf_config.py:37,
+reflect_sampling_nerf_model.py:46-54).  The "value" reported is the
+harmonic combination of train and render throughput (a user alternates
+both), with both numbers also included for the record.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rsn.configs import ModelConfig, TrainerConfig
+    from rsn.data.synthetic import make_synthetic_dataset
+    from rsn.engine.trainer import TrainState, make_train_step
+    from rsn.models import field as field_lib
+    from rsn.models import model as model_lib
+    from rsn.core.rays import RayBundle
+
+    n_dev = len(jax.devices())
+    config = TrainerConfig()
+    # bf16 trunk matmuls on TPU (fp32 elsewhere)
+    import dataclasses
+    mcfg = dataclasses.replace(config.pipeline.model,
+                               compute_dtype="bfloat16")
+    config = dataclasses.replace(
+        config, pipeline=dataclasses.replace(config.pipeline, model=mcfg))
+
+    batch = config.pipeline.datamanager.train_num_rays_per_batch  # 1024
+
+    ds = make_synthetic_dataset(num_cameras=4, H=64, W=64)
+    images = jnp.asarray(ds.images)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    train_step, optimizer = make_train_step(config)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.int32(0))
+    step_fn = jax.jit(lambda s, im, cam, k: train_step(s, im, cam, k),
+                      donate_argnums=(0,))
+
+    key = jax.random.PRNGKey(0)
+    # compile + warmup
+    state, _ = step_fn(state, images, ds.cameras, key)
+    jax.block_until_ready(state.params)
+    n_train = 20
+    t0 = time.perf_counter()
+    for i in range(n_train):
+        state, metrics = step_fn(state, images, ds.cameras,
+                                 jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+    train_dt = time.perf_counter() - t0
+    train_rays_s = n_train * batch / train_dt
+
+    # render throughput: eval-mode 4-pass on a big ray chunk
+    R = 8192
+    d = jax.random.normal(key, (R, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    bundle = RayBundle(
+        origins=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 4.0]), (R, 3)),
+        directions=d, pixel_area=jnp.full((R, 1), 1e-6),
+        nears=jnp.zeros((R, 1)), fars=jnp.ones((R, 1)))
+    bundle = model_lib.apply_collider(bundle, mcfg)
+    render = jax.jit(lambda p, b, k: model_lib.get_outputs(
+        p, b, k, mcfg, training=False))
+    out = render(state.params, bundle, key)
+    jax.block_until_ready(out["mid_rgb_fine"])
+    n_render = 10
+    t0 = time.perf_counter()
+    for i in range(n_render):
+        out = render(state.params, bundle, jax.random.fold_in(key, i))
+    jax.block_until_ready(out["mid_rgb_fine"])
+    render_dt = time.perf_counter() - t0
+    render_rays_s = n_render * R / render_dt
+
+    # harmonic mean: one train ray + one render ray per "unit of use"
+    combined = 2.0 / (1.0 / train_rays_s + 1.0 / render_rays_s)
+    per_chip = combined / max(n_dev, 1)
+    print(json.dumps({
+        "metric": "rays/sec/chip (train + render)",
+        "value": round(per_chip, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(per_chip / 250_000.0, 4),
+        "train_rays_per_sec": round(train_rays_s, 1),
+        "render_rays_per_sec": round(render_rays_s, 1),
+        "devices": n_dev,
+    }))
+
+
+if __name__ == "__main__":
+    main()

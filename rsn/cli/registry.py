@@ -1,0 +1,41 @@
+"""Method registry — the framework's equivalent of nerfstudio's
+`nerfstudio.method_configs` entry point (reference pyproject.toml:12-13 +
+reflect_sampling_nerf_config.py:27-63).
+
+New methods register a (name -> TrainerConfig factory, description)
+pair; the train CLI discovers them by name.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple
+
+from rsn.configs import TrainerConfig
+
+
+class MethodSpecification(NamedTuple):
+    config_factory: Callable[[], TrainerConfig]
+    description: str
+
+
+METHODS: Dict[str, MethodSpecification] = {}
+
+
+def register_method(name: str, factory: Callable[[], TrainerConfig],
+                    description: str = "") -> None:
+    METHODS[name] = MethodSpecification(factory, description)
+
+
+def get_method(name: str) -> MethodSpecification:
+    if name not in METHODS:
+        known = ", ".join(sorted(METHODS))
+        raise KeyError(f"unknown method '{name}' (known: {known})")
+    return METHODS[name]
+
+
+# --- built-in methods ---------------------------------------------------
+
+register_method(
+    "reflect-sampling-nerf",
+    lambda: TrainerConfig(method_name="reflect-sampling-nerf"),
+    "Ref-NeRF-style reflection-aware NeRF with explicit reflected-ray "
+    "resampling (TPU-native rebuild of 236088/reflect-sampling-nerf).")

@@ -1,0 +1,88 @@
+"""rsn-render — the `ns-render` equivalent: render eval cameras (or an
+orbit path) from a trained run to PNGs, with the reference's eval image
+panels (rgb | accumulation colormap | depth colormap; SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def apply_colormap(x: np.ndarray) -> np.ndarray:
+    """Scalar (H,W,1) -> turbo colormap RGB (nerfstudio default)."""
+    import matplotlib
+    v = np.clip(x[..., 0], 0.0, 1.0)
+    return matplotlib.colormaps["turbo"](v)[..., :3].astype(np.float32)
+
+
+def apply_depth_colormap(depth: np.ndarray, accumulation: np.ndarray,
+                         near: float, far: float) -> np.ndarray:
+    """Depth -> turbo, normalized by the collider near/far planes and
+    modulated by accumulation (reference model.py:444-455)."""
+    v = np.clip((depth - near) / max(far - near, 1e-6), 0.0, 1.0)
+    rgb = apply_colormap(v)
+    return rgb * accumulation + (1.0 - accumulation)
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def render_panels(out: dict, gt: np.ndarray, near: float, far: float):
+    """The reference's three eval panels (model.py:457-459)."""
+    rgb = np.concatenate([gt, np.clip(out["mid_rgb_coarse"], 0, 1),
+                          np.clip(out["mid_reflect_fine"], 0, 1)], axis=1)
+    acc = np.concatenate([apply_colormap(out["accumulation_coarse"]),
+                          apply_colormap(out["accumulation_fine"])], axis=1)
+    depth = np.concatenate([
+        apply_depth_colormap(out["depth_coarse"],
+                             out["accumulation_coarse"], near, far),
+        apply_depth_colormap(out["depth_fine"],
+                             out["accumulation_fine"], near, far)], axis=1)
+    return {"img": rgb, "accumulation": acc, "depth": depth}
+
+
+def main(argv=None) -> int:
+    import argparse
+    p = argparse.ArgumentParser(description="render a trained run")
+    p.add_argument("--load-dir", required=True)
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--split", default="test")
+    p.add_argument("--max-images", type=int, default=None)
+    ns = p.parse_args(argv)
+
+    from rsn.cli.run_io import load_run
+    from rsn.data.blender import load_dataset
+    from rsn.engine.trainer import render_image
+    from rsn.parallel import mesh as mesh_lib
+
+    params, config, step = load_run(ns.load_dir)
+    dm = config.pipeline.datamanager
+    dataset = load_dataset(dm.dataparser, dm.data or "", ns.split,
+                           dm.downscale_factor, dm.scale_factor)
+    out_dir = ns.output_dir or os.path.join(ns.load_dir,
+                                            f"renders_{ns.split}")
+    os.makedirs(out_dir, exist_ok=True)
+    mesh = mesh_lib.make_mesh(config.num_devices)
+    mesh = mesh if mesh.devices.size > 1 else None
+    mcfg = config.pipeline.model
+    n = dataset.cameras.num_cameras
+    if ns.max_images:
+        n = min(n, ns.max_images)
+    for i in range(n):
+        out = render_image(params, dataset.cameras, i, config, mesh=mesh)
+        panels = render_panels(out, dataset.images[i],
+                               mcfg.collider_near_plane,
+                               mcfg.collider_far_plane)
+        for name, img in panels.items():
+            save_png(os.path.join(out_dir, f"{i:05d}-{name}.png"), img)
+        print(f"rendered {i+1}/{n}", flush=True)
+    print(f"wrote {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

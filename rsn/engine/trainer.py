@@ -1,0 +1,281 @@
+"""Train loop: on-device pixel sampling -> 4-pass render -> loss ->
+RAdam, data-parallel over a `data` mesh.
+
+Rebuilds the reference's inherited Trainer + pipeline + datamanager loop
+(SURVEY.md §3.1/§3.2) as one jitted, shard_map-wrapped step:
+
+- pixel sampling + ray generation happen on device inside the step
+  (replaces the host-side image-cache dataloader / pixel sampler /
+  RayGenerator of reflect_sampling_nerf_datamanager.py:49-58)
+- the 50-step loss warmup is a traced function of the step counter
+  (replaces the reference's per-step config mutation, pipeline.py:79-91)
+- mixed precision = bf16 trunk matmuls (TPU-native; the reference's
+  fp16 GradScaler is CUDA-specific and unnecessary with bf16)
+- cadences replicate the reference TrainerConfig: eval batch every 100,
+  save every 1000 (reflect_sampling_nerf_config.py:30-31)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from rsn.configs import (LOSS_COEFFICIENTS, TrainerConfig, WARMUP_STEPS,
+                         WARMUP_ZEROED)
+from rsn.core.rays import RayBundle
+from rsn.data.blender import Dataset, load_dataset
+from rsn.data.cameras import Cameras, generate_rays
+from rsn.engine import checkpoints as ckpt_lib
+from rsn.engine.optimizers import build_field_optimizer
+from rsn.models import field as field_lib
+from rsn.models import model as model_lib
+from rsn.parallel import mesh as mesh_lib
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # scalar int32
+
+
+def loss_coefficients_traced(step: jax.Array) -> Dict[str, jax.Array]:
+    """Warmup schedule as a pure traced function (SURVEY.md §5.6)."""
+    on = (step >= WARMUP_STEPS).astype(jnp.float32)
+    return {k: (v * on if k in WARMUP_ZEROED else jnp.float32(v))
+            for k, v in LOSS_COEFFICIENTS.items()}
+
+
+def sample_pixel_batch(images: jax.Array, cameras: Cameras,
+                       num_rays: int, key: jax.Array
+                       ) -> Tuple[RayBundle, jax.Array]:
+    """Uniform pixel sampling + ray generation, fully on device."""
+    n, h, w = images.shape[:3]
+    kc, ky, kx = jax.random.split(key, 3)
+    ci = jax.random.randint(kc, (num_rays,), 0, n)
+    py = jax.random.randint(ky, (num_rays,), 0, h)
+    px = jax.random.randint(kx, (num_rays,), 0, w)
+    origins, dirs, pixel_area = generate_rays(cameras, ci, py, px)
+    gt = images[ci, py, px].astype(jnp.float32)
+    if images.dtype == jnp.uint8:  # images may be stored compactly
+        gt = gt / 255.0
+    zeros = jnp.zeros((num_rays, 1))
+    bundle = RayBundle(origins=origins, directions=dirs,
+                       pixel_area=pixel_area, nears=zeros, fars=zeros,
+                       camera_indices=ci[:, None])
+    return bundle, gt
+
+
+def make_train_step(config: TrainerConfig):
+    """Build the per-device train step; gradient pmean over `axis_name`
+    replaces DDP's all-reduce (reference pipeline.py:73-77)."""
+    mcfg = config.pipeline.model
+    num_rays = config.pipeline.datamanager.train_num_rays_per_batch
+    optimizer = build_field_optimizer(config.optimizers)
+
+    def train_step(state: TrainState, images, cameras, key,
+                   axis_name: Optional[str] = None):
+        k_pix, k_render = jax.random.split(jax.random.fold_in(
+            key, state.step))
+        bundle, gt = sample_pixel_batch(images, cameras, num_rays, k_pix)
+        bundle = model_lib.apply_collider(bundle, mcfg)
+        coeffs = loss_coefficients_traced(state.step)
+
+        def loss_fn(params):
+            outputs = model_lib.get_outputs(params, bundle, k_render, mcfg,
+                                            training=True)
+            loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
+            total = sum(jax.tree.leaves(loss_dict))
+            return total, loss_dict
+
+        (total, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            total = jax.lax.pmean(total, axis_name)
+            loss_dict = jax.lax.pmean(loss_dict, axis_name)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = dict(loss_dict, total_loss=total)
+        return new_state, metrics
+
+    return train_step, optimizer
+
+
+def render_image(params, cameras: Cameras, camera_index: int,
+                 config: TrainerConfig, key: Optional[jax.Array] = None,
+                 mesh=None) -> Dict[str, np.ndarray]:
+    """Chunked full-image render (inherited get_outputs_for_camera_ray_
+    bundle semantics, SURVEY.md §3.3), optionally sharded over a mesh."""
+    from rsn.data.cameras import generate_image_rays
+
+    mcfg = config.pipeline.model
+    chunk = mcfg.eval_num_rays_per_chunk
+    if mesh is not None:
+        chunk *= mesh.devices.size
+    H, W = cameras.height, cameras.width
+    origins, dirs, pixel_area = generate_image_rays(cameras, camera_index)
+    total = H * W
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def render_chunk(params, batch, key):
+        o, d, pa = batch
+        n = o.shape[0]
+        zeros = jnp.zeros((n, 1))
+        rb = RayBundle(origins=o, directions=d, pixel_area=pa,
+                       nears=zeros, fars=zeros)
+        rb = model_lib.apply_collider(rb, mcfg)
+        out = model_lib.get_outputs(params, rb, key, mcfg, training=False)
+        keep = ("mid_rgb_coarse", "mid_rgb_fine", "mid_reflect_coarse",
+                "mid_reflect_fine", "accumulation_coarse",
+                "accumulation_fine", "depth_coarse", "depth_fine",
+                "roughness")
+        return {k: out[k] for k in keep}
+
+    if mesh is not None:
+        fn = mesh_lib.shard_render(render_chunk, mesh)
+        params = jax.device_put(params, mesh_lib.replicated(mesh))
+        shard = mesh_lib.batch_sharding(mesh)
+    else:
+        fn = jax.jit(render_chunk)
+        shard = None
+
+    results = []
+    for lo in range(0, total, chunk):
+        hi = min(lo + chunk, total)
+        pad = chunk - (hi - lo)
+        def sl(x):
+            padded = jnp.pad(x[lo:hi], ((0, pad),) + ((0, 0),) *
+                             (x.ndim - 1))
+            return jax.device_put(padded, shard) if shard else padded
+        out = fn(params, (sl(origins), sl(dirs), sl(pixel_area)),
+                 jax.random.fold_in(key, lo))
+        results.append(jax.tree.map(
+            lambda x: np.asarray(x)[:hi - lo], out))
+    stacked = {k: np.concatenate([r[k] for r in results], axis=0)
+               for k in results[0]}
+    return {k: v.reshape(H, W, -1) for k, v in stacked.items()}
+
+
+class Trainer:
+    """Orchestrates setup -> train loop -> eval/checkpoint hooks."""
+
+    def __init__(self, config: TrainerConfig, run_dir: Optional[str] = None):
+        self.config = config
+        dm = config.pipeline.datamanager
+        self.train_ds = load_dataset(dm.dataparser, dm.data or "", "train",
+                                     dm.downscale_factor, dm.scale_factor)
+        try:
+            eval_split = ("val" if dm.dataparser == "blender" else "test")
+            self.eval_ds = load_dataset(dm.dataparser, dm.data or "",
+                                        eval_split, dm.downscale_factor,
+                                        dm.scale_factor)
+        except FileNotFoundError:
+            self.eval_ds = self.train_ds
+
+        if run_dir is None:
+            ts = time.strftime("%Y-%m-%d_%H%M%S")
+            run_dir = os.path.join(config.output_dir,
+                                   config.experiment_name,
+                                   config.method_name, ts)
+        self.run_dir = run_dir
+        self.ckpt_dir = os.path.join(run_dir, "checkpoints")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        ckpt_lib.dump_config(run_dir, config)
+
+        self.mesh = mesh_lib.make_mesh(config.num_devices)
+        self.num_devices = self.mesh.devices.size
+        train_step, self.optimizer = make_train_step(config)
+
+        if self.num_devices > 1:
+            # global batch = per-device batch * D (per-rank semantics
+            # identical to the reference's per-GPU 1024 rays)
+            def per_device(state, data, key, axis_name=None):
+                images, cameras = data
+                return train_step(state, images, cameras, key,
+                                  axis_name=axis_name)
+            self._step_fn = self._make_sharded(per_device)
+        else:
+            self._step_fn = jax.jit(
+                lambda s, images, cameras, k: train_step(
+                    s, images, cameras, k))
+
+        params = field_lib.init_field_params(
+            jax.random.PRNGKey(config.seed))
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(params=params, opt_state=opt_state,
+                                step=jnp.int32(0))
+        self.images = jnp.asarray(self.train_ds.images)
+        self.cameras = self.train_ds.cameras
+        self._log_file = open(os.path.join(run_dir, "train_log.jsonl"), "a")
+
+    def _make_sharded(self, per_device):
+        from jax.sharding import PartitionSpec as P
+        mesh = self.mesh
+
+        def wrapped(state, images, cameras, key):
+            def body(state, images, cameras, key):
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(mesh_lib.DATA_AXIS))
+                return per_device(state, (images, cameras), key,
+                                  axis_name=mesh_lib.DATA_AXIS)
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False)(state, images, cameras, key)
+        return jax.jit(wrapped)
+
+    def restore(self, load_dir: str) -> None:
+        path = ckpt_lib.latest_checkpoint(load_dir)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoints under {load_dir}")
+        restored = ckpt_lib.load_checkpoint(
+            path, {"params": self.state.params,
+                   "opt_state": self.state.opt_state,
+                   "step": int(self.state.step)})
+        self.state = TrainState(params=restored["params"],
+                                opt_state=restored["opt_state"],
+                                step=jnp.int32(restored["step"]))
+
+    def train(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.config
+        max_steps = max_steps or cfg.max_num_iterations
+        key = jax.random.PRNGKey(cfg.seed)
+        last_metrics: Dict[str, float] = {}
+        t0 = time.time()
+        start = int(self.state.step)
+        for step in range(start, max_steps):
+            self.state, metrics = self._step_fn(
+                self.state, self.images, self.cameras,
+                jax.random.fold_in(key, step))
+            if (step + 1) % cfg.steps_per_log == 0 or step == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                rays = (step + 1 - start) * \
+                    cfg.pipeline.datamanager.train_num_rays_per_batch * \
+                    max(self.num_devices, 1)
+                dt = time.time() - t0
+                line = {"step": step + 1, "rays_per_sec": rays / dt,
+                        **metrics}
+                self._log_file.write(json.dumps(line) + "\n")
+                self._log_file.flush()
+                print(f"step {step+1}: loss={metrics['total_loss']:.4f} "
+                      f"({rays/dt:,.0f} rays/s)", flush=True)
+                last_metrics = metrics
+            if (step + 1) % cfg.steps_per_save == 0 or step + 1 == max_steps:
+                ckpt_lib.save_checkpoint(self.ckpt_dir, step + 1,
+                                         self.state.params,
+                                         self.state.opt_state)
+        return last_metrics

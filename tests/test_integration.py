@@ -1,0 +1,49 @@
+"""Slow integration: the SURVEY.md §4.3 smoke train — fit the synthetic
+scene with the real train step (RAdam, warmup schedule) and assert the
+rgb loss decreases and rendered PSNR beats the untrained model.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rsn.configs import (DataManagerConfig, ModelConfig, PipelineConfig,
+                         TrainerConfig)
+from rsn.data.synthetic import make_synthetic_dataset
+from rsn.engine.trainer import TrainState, make_train_step, render_image
+from rsn.models import field as field_lib
+from rsn import metrics as metrics_lib
+
+
+@pytest.mark.slow
+def test_smoke_train_synthetic():
+    cfg = TrainerConfig(pipeline=PipelineConfig(
+        datamanager=DataManagerConfig(dataparser="synthetic",
+                                      train_num_rays_per_batch=128),
+        model=ModelConfig(num_coarse_samples=24, num_importance_samples=24,
+                          num_reflect_coarse_samples=4,
+                          num_reflect_importance_samples=4,
+                          eval_num_rays_per_chunk=288)))
+    train_step, optimizer = make_train_step(cfg)
+    ds = make_synthetic_dataset(num_cameras=3, H=24, W=24)
+    images = jnp.asarray(ds.images)
+    params0 = field_lib.init_field_params(jax.random.PRNGKey(0))
+    state = TrainState(params=params0,
+                       opt_state=optimizer.init(params0),
+                       step=jnp.int32(0))
+    fn = jax.jit(lambda s, k: train_step(s, images, ds.cameras, k))
+
+    losses = []
+    for i in range(150):
+        state, metrics = fn(state, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss_mid_fine"]))
+    assert np.mean(losses[-20:]) < np.mean(losses[:20])
+
+    out0 = render_image(params0, ds.cameras, 0, cfg)
+    out1 = render_image(state.params, ds.cameras, 0, cfg)
+    gt = jnp.asarray(ds.images[0])
+    psnr0 = float(metrics_lib.psnr(jnp.asarray(out0["mid_rgb_fine"]), gt))
+    psnr1 = float(metrics_lib.psnr(jnp.asarray(out1["mid_rgb_fine"]), gt))
+    assert psnr1 > psnr0 + 0.5, (psnr0, psnr1)
+    assert psnr1 > 9.0, psnr1  # ~9.5 after 150 steps; climbs with steps
