@@ -94,14 +94,19 @@ def sh_basis(directions: jax.Array, sh_l8_m7_2x: bool = True) -> jax.Array:
     """
     monomials, coeffs = _sh_tables(sh_l8_m7_2x)
     d = jax.lax.stop_gradient(directions)
-    # features via log-free power products: powers of x,y,z up to 8
-    pows = [jnp.ones_like(d)]  # pows[k] = d**k, (..., 3)
+    # features via power products, statically unrolled (indices are
+    # compile-time constants -> pure elementwise VPU work, no gathers)
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xp = [None] * 9
+    yp = [None] * 9
+    zp = [None] * 9
+    xp[0] = yp[0] = zp[0] = jnp.ones_like(x)
     for k in range(1, 9):
-        pows.append(pows[-1] * d)
-    pstack = jnp.stack(pows, axis=-2)  # (..., 9, 3)
-    feats = (pstack[..., monomials[:, 0], 0]
-             * pstack[..., monomials[:, 1], 1]
-             * pstack[..., monomials[:, 2], 2])  # (..., M)
+        xp[k] = xp[k - 1] * x
+        yp[k] = yp[k - 1] * y
+        zp[k] = zp[k - 1] * z
+    feats = jnp.stack([xp[a] * yp[b] * zp[c]
+                       for a, b, c in monomials.tolist()], axis=-1)
     return feats @ jnp.asarray(coeffs)
 
 

@@ -95,20 +95,40 @@ def get_ray_samples(ray_bundle: RayBundle, euclidean_bins: jax.Array,
     )
 
 
-def conical_frustum_to_gaussian(origins: jax.Array, directions: jax.Array,
-                                starts: jax.Array, ends: jax.Array,
-                                radius: jax.Array):
-    """mip-NeRF cone-segment -> (mean, 3x3 cov) Gaussian approximation.
-
-    Re-derivation of the closed form used by nerfstudio
-    ``utils/math.py::conical_frustum_to_gaussian`` (mip-NeRF eq. 7), which the
-    reference reaches through ``frustums.get_gaussian_blob()`` (field.py:93).
-
-    Args:
-      origins/directions: (..., 3); starts/ends/radius: (..., 1)
-    Returns:
-      mean (..., 3), cov (..., 3, 3)
+class GaussianBlob(struct.PyTreeNode):
+    """mip-NeRF cone Gaussian in FACTORED form:
+        cov = dir_variance * d d^T + radius_variance * (I - d d^T/|d|^2).
+    TPU-first: materializing (..., 3, 3) covariances forces a (4, 128)
+    tile per 3x3 block on TPU (measured 56.9x HBM padding blow-up); the
+    model only ever consumes the contracted covariance DIAGONAL, which
+    is computable from this factorization with vector ops only.
     """
+    mean: jax.Array  # (..., 3)
+    directions: jax.Array  # (..., 3)
+    dir_variance: jax.Array  # (..., 1)
+    radius_variance: jax.Array  # (..., 1)
+
+    def cov_diag(self) -> jax.Array:
+        d = self.directions
+        dmag2 = jnp.clip(jnp.sum(d**2, axis=-1, keepdims=True), min=1e-10)
+        return (self.dir_variance * d * d
+                + self.radius_variance * (1.0 - d * d / dmag2))
+
+    def dense_cov(self) -> jax.Array:
+        """(..., 3, 3) covariance — for tests/oracles only (slow on TPU)."""
+        d = self.directions
+        eye = jnp.eye(3, dtype=d.dtype)
+        dmag2 = jnp.clip(jnp.sum(d**2, axis=-1, keepdims=True), min=1e-10)
+        douter = d[..., :, None] * d[..., None, :]
+        nouter = eye - d[..., :, None] * (d / dmag2)[..., None, :]
+        return (self.dir_variance[..., None] * douter
+                + self.radius_variance[..., None] * nouter)
+
+
+def conical_frustum_to_factored(origins: jax.Array, directions: jax.Array,
+                                starts: jax.Array, ends: jax.Array,
+                                radius: jax.Array) -> GaussianBlob:
+    """mip-NeRF cone-segment -> factored Gaussian (see GaussianBlob)."""
     mu = (starts + ends) / 2.0
     hw = (ends - starts) / 2.0
     denom = 3.0 * mu**2 + hw**2
@@ -117,24 +137,39 @@ def conical_frustum_to_gaussian(origins: jax.Array, directions: jax.Array,
         (hw**4 * (12.0 * mu**2 - hw**2)) / denom**2)
     radius_variance = radius**2 * ((mu**2) / 4.0 + (5.0 / 12.0) * hw**2
                                    - (4.0 / 15.0) * (hw**4) / denom)
-    dir_outer = directions[..., :, None] * directions[..., None, :]
-    eye = jnp.eye(3, dtype=directions.dtype)
-    dir_mag_sq = jnp.clip(
-        jnp.sum(directions**2, axis=-1, keepdims=True), min=1e-10)
-    null_outer = eye - directions[..., :, None] * (
-        directions / dir_mag_sq)[..., None, :]
-    cov = (dir_variance[..., None] * dir_outer
-           + radius_variance[..., None] * null_outer)
-    return means, cov
+    return GaussianBlob(mean=means, directions=directions,
+                        dir_variance=dir_variance,
+                        radius_variance=radius_variance)
 
 
-def get_gaussian_blob(ray_samples: RaySamples):
-    """Frustums -> Gaussian blobs; cone base radius from pixel_area.
+def conical_frustum_to_gaussian(origins: jax.Array, directions: jax.Array,
+                                starts: jax.Array, ends: jax.Array,
+                                radius: jax.Array):
+    """mip-NeRF cone-segment -> (mean, 3x3 cov) Gaussian approximation.
+
+    Re-derivation of the closed form used by nerfstudio
+    ``utils/math.py::conical_frustum_to_gaussian`` (mip-NeRF eq. 7), which the
+    reference reaches through ``frustums.get_gaussian_blob()`` (field.py:93).
+    Dense-covariance variant for tests/oracles; the compute path uses
+    `conical_frustum_to_factored` (TPU layout, see GaussianBlob).
+
+    Args:
+      origins/directions: (..., 3); starts/ends/radius: (..., 1)
+    Returns:
+      mean (..., 3), cov (..., 3, 3)
+    """
+    blob = conical_frustum_to_factored(origins, directions, starts, ends,
+                                       radius)
+    return blob.mean, blob.dense_cov()
+
+
+def get_gaussian_blob(ray_samples: RaySamples) -> GaussianBlob:
+    """Frustums -> factored Gaussian blobs; cone radius from pixel_area.
 
     Matches nerfstudio Frustums.get_gaussian_blob:
     cone_radius = sqrt(pixel_area) / sqrt(pi).
     """
     cone_radius = jnp.sqrt(ray_samples.pixel_area) / SQRT_PI
-    return conical_frustum_to_gaussian(
+    return conical_frustum_to_factored(
         ray_samples.origins, ray_samples.directions,
         ray_samples.starts, ray_samples.ends, cone_radius)

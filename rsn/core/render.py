@@ -75,9 +75,13 @@ def render_depth_median(weights: jax.Array, starts: jax.Array,
     """
     steps = (starts + ends) / 2.0  # (R, S, 1)
     cum = jnp.cumsum(weights[..., 0], axis=-1)  # (R, S)
-    idx = jnp.sum((cum < 0.5).astype(jnp.int32), axis=-1, keepdims=True)
-    idx = jnp.clip(idx, 0, steps.shape[-2] - 1)
-    return jnp.take_along_axis(steps[..., 0], idx, axis=-1)
+    # steps[first j with cum_j >= 0.5]: {cum >= 0.5} is a suffix and
+    # steps are ascending, so the gather is a masked min-reduction
+    # (take_along_axis is pathologically slow on TPU)
+    depth = jnp.min(jnp.where(cum >= 0.5, steps[..., 0], jnp.inf),
+                    axis=-1, keepdims=True)
+    # all-below-0.5 rays clamp to the last sample (torch.clamp semantics)
+    return jnp.minimum(depth, steps[..., -1, :])
 
 
 def render_depth_expected(weights: jax.Array, starts: jax.Array,

@@ -83,41 +83,56 @@ def init_field_params(key: jax.Array) -> Params:
     }
 
 
-def _dense(p: Params, x: jax.Array, dtype=None) -> jax.Array:
+def _dense(p: Params, x: jax.Array, dtype=None, out_dtype=None) -> jax.Array:
+    """Linear layer; with dtype=bf16 the matmul operands are bf16 with
+    fp32 MXU accumulation (+ fp32 bias).  out_dtype optionally casts the
+    result (bf16 activations halve HBM traffic between fused regions)."""
+    if dtype is None and x.dtype != jnp.float32:
+        dtype = x.dtype  # bf16 embedding -> bf16 head matmul, fp32 out
     if dtype is not None and dtype != jnp.float32:
         y = jax.lax.dot_general(
             x.astype(dtype), p["w"].astype(dtype),
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return y + p["b"]
-    return x @ p["w"] + p["b"]
+        y = y + p["b"]
+    else:
+        y = x @ p["w"] + p["b"]
+    return y.astype(out_dtype) if out_dtype is not None else y
 
 
 def mlp_base(params: Params, x: jax.Array,
              dtype=jnp.float32) -> jax.Array:
-    """Trunk: 8 linears, ReLU between + at out, input re-concat at layer 4."""
-    h = x
+    """Trunk: 8 linears, ReLU between + at out, input re-concat at layer 4.
+
+    In bf16 mode, activations between layers (and the returned
+    embedding) stay bf16 — matching the reference's AMP training regime
+    (mixed_precision=True, config.py:33) with bf16 instead of fp16.
+    """
+    act_dtype = None if dtype == jnp.float32 else dtype
+    h = x if act_dtype is None else x.astype(act_dtype)
     for i, layer in enumerate(params["trunk"]):
         if i == SKIP_AT:
-            h = jnp.concatenate([x, h], axis=-1)
-        h = _dense(layer, h, dtype)
+            h = jnp.concatenate([x.astype(h.dtype), h], axis=-1)
+        h = _dense(layer, h, dtype, out_dtype=act_dtype)
         h = jax.nn.relu(h)  # inner activation; final layer also ReLU'd
     return h
 
 
 def get_density(params: Params, mean: jax.Array,
-                cov: Optional[jax.Array] = None,
+                cov_diag: Optional[jax.Array] = None,
                 cfg: FieldConfig = FieldConfig()):
     """-> (density, embedding, density_preact).
 
-    density = softplus(linear(trunk(IPE(mean, cov))) + 0.5)
+    density = softplus(linear(trunk(IPE(mean, diag(cov)))) + 0.5)
     (reference field.py:122-137; the +0.5 density_bias IS applied).
+    cov_diag: (..., 3) contracted covariance diagonal — the IPE consumes
+    only the diagonal (nerfstudio NeRFEncoding semantics), and the
+    factored pipeline (rsn.core.contract.contract_blob) never builds the
+    3x3.  A full (..., 3, 3) cov is also accepted for oracle tests.
     """
-    if cov is not None:
-        cov_diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
-        enc = ipe_encode(mean, cov_diag=cov_diag)
-    else:
-        enc = ipe_encode(mean)
+    if cov_diag is not None and cov_diag.ndim == mean.ndim + 1:
+        cov_diag = jnp.diagonal(cov_diag, axis1=-2, axis2=-1)
+    enc = ipe_encode(mean, cov_diag=cov_diag)
     emb = mlp_base(params, enc, cfg.compute_dtype)
     preact = _dense(params["density"], emb)
     density = jax.nn.softplus(preact + DENSITY_BIAS)
@@ -125,17 +140,27 @@ def get_density(params: Params, mean: jax.Array,
 
 
 def get_analytic_normals(params: Params, mean: jax.Array,
-                         cov: jax.Array,
+                         cov_diag: jax.Array,
                          cfg: FieldConfig = FieldConfig()) -> jax.Array:
     """normals = -normalize(grad of pre-activation density wrt contracted
     mean), holding cov fixed — matches the reference's autograd path
-    (field.py:125-135,146-147 + nerfstudio Field.get_normals).
+    (field.py:125-135,146-147 + nerfstudio Field.get_normals: the
+    contracted mean is re-leafed by requires_grad, so cov is a constant
+    wrt that leaf).
 
     The result is used only as a (detached) regularization target
     (model.py:250-251), so the whole computation sits under stop_gradient.
     """
+    # stop_gradient on ALL inputs (not just the output): the result is a
+    # pure regularization target, and without this the outer
+    # value_and_grad still linearizes through the inner VJP, saving its
+    # residuals — measured +125% backward wall time
+    params = jax.lax.stop_gradient(params)
+    mean = jax.lax.stop_gradient(mean)
+    cov_diag = jax.lax.stop_gradient(cov_diag)
+
     def preact_sum(m):
-        _, _, preact = get_density(params, m, cov, cfg)
+        _, _, preact = get_density(params, m, cov_diag, cfg)
         return jnp.sum(preact)
 
     g = jax.grad(preact_sum)(mean)
@@ -160,23 +185,33 @@ def get_mid(params: Params, directions: jax.Array, roughness: jax.Array,
             cfg: FieldConfig = FieldConfig()) -> jax.Array:
     """Directional branch: sigmoid(mid(relu(linear([ISH || bottleneck]))))."""
     enc = ish_encode(directions, roughness, cfg.sh_l8_m7_2x)
+    act = None if cfg.compute_dtype == jnp.float32 else cfg.compute_dtype
     if use_bottleneck:
-        embedding = _dense(params["bottleneck"], embedding)
+        embedding = _dense(params["bottleneck"], embedding,
+                           cfg.compute_dtype, out_dtype=act)
+    if act is not None:
+        enc = enc.astype(act)
+        embedding = embedding.astype(act)
     h = jax.nn.relu(_dense(params["mid_mlp"],
-                           jnp.concatenate([enc, embedding], axis=-1)))
+                           jnp.concatenate([enc, embedding], axis=-1),
+                           cfg.compute_dtype, out_dtype=act))
     return jax.nn.sigmoid(_dense(params["mid"], h))
 
 
 def get_low(params: Params, embedding: jax.Array,
-            use_bottleneck: bool = True) -> jax.Array:
+            use_bottleneck: bool = True,
+            cfg: FieldConfig = FieldConfig()) -> jax.Array:
     """Zero-direction readout (dead code in the reference, kept for parity
     with field.py:158-164)."""
+    act = None if cfg.compute_dtype == jnp.float32 else cfg.compute_dtype
     if use_bottleneck:
-        embedding = _dense(params["bottleneck"], embedding)
+        embedding = _dense(params["bottleneck"], embedding,
+                           cfg.compute_dtype, out_dtype=act)
     zeros = jnp.zeros(embedding.shape[:-1] + (ISH_OUT_DIM,),
                       dtype=embedding.dtype)
     h = jax.nn.relu(_dense(params["mid_mlp"],
-                           jnp.concatenate([zeros, embedding], axis=-1)))
+                           jnp.concatenate([zeros, embedding], axis=-1),
+                           cfg.compute_dtype, out_dtype=act))
     return jax.nn.sigmoid(_dense(params["mid"], h))
 
 
@@ -193,17 +228,12 @@ def get_inf_color(params: Params, directions: jax.Array,
                   cfg: FieldConfig = FieldConfig()) -> jax.Array:
     """Far-field radiance read out of the SAME field on the contraction
     boundary sphere: mean = 2*d, cov = 0.6*sqradius*(I - d d^T), zero
-    directional encoding (reference field.py:190-201)."""
-    outer = directions[..., :, None] * directions[..., None, :]
-    eye = jnp.eye(3, dtype=directions.dtype)
+    directional encoding (reference field.py:190-201).  Only the cov
+    diagonal 0.6*sqradius*(1 - d*d) feeds the IPE (factored layout)."""
     mean = 2.0 * directions
-    cov = 0.6 * sqradius[..., None] * (eye - outer)
-    _, emb, _ = get_density(params, mean, cov, cfg)
-    emb = _dense(params["bottleneck"], emb)
-    zeros = jnp.zeros(emb.shape[:-1] + (ISH_OUT_DIM,), dtype=emb.dtype)
-    h = jax.nn.relu(_dense(params["mid_mlp"],
-                           jnp.concatenate([zeros, emb], axis=-1)))
-    return jax.nn.sigmoid(_dense(params["mid"], h))
+    cov_diag = 0.6 * sqradius * (1.0 - directions * directions)
+    _, emb, _ = get_density(params, mean, cov_diag, cfg)
+    return get_low(params, emb, True, cfg)
 
 
 def get_reflection(directions: jax.Array, normals: jax.Array):

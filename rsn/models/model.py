@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from rsn.configs import ModelConfig
 from rsn.core import rays as rays_lib
-from rsn.core.contract import contract
+from rsn.core.contract import contract_blob
 from rsn.core.rays import RayBundle
 from rsn.core.render import (WHITE, blend_background_for_loss_computation,
                              normalize, render_accumulation,
@@ -67,14 +67,15 @@ def apply_collider(ray_bundle: RayBundle, cfg: ModelConfig) -> RayBundle:
 def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
                   training: bool):
     """Shared body of passes 1 & 2: field evals + per-sample heads."""
-    mean, cov = rays_lib.get_gaussian_blob(ray_samples)
-    mean, cov = contract(mean, cov)
-    density, emb, _ = field_lib.get_density(params, mean, cov, fcfg)
+    blob = rays_lib.get_gaussian_blob(ray_samples)
+    mean, cov_diag = contract_blob(blob)
+    density, emb, _ = field_lib.get_density(params, mean, cov_diag, fcfg)
     weights = ray_samples.get_weights(density)
 
     pred_normals = field_lib.get_pred_normals(params, emb)
     if training:
-        normals = field_lib.get_analytic_normals(params, mean, cov, fcfg)
+        normals = field_lib.get_analytic_normals(params, mean, cov_diag,
+                                                 fcfg)
     else:
         normals = sg(pred_normals)
     dirs = ray_samples.directions
@@ -94,9 +95,9 @@ def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
                   training: bool):
     """Shared body of passes 3 & 4: reflected radiance with detached
     weights (model.py:292-313, 317-339)."""
-    mean, cov = rays_lib.get_gaussian_blob(ray_samples)
-    mean, cov = contract(mean, cov)
-    density, emb, _ = field_lib.get_density(params, mean, cov, fcfg)
+    blob = rays_lib.get_gaussian_blob(ray_samples)
+    mean, cov_diag = contract_blob(blob)
+    density, emb, _ = field_lib.get_density(params, mean, cov_diag, fcfg)
     weights = sg(ray_samples.get_weights(density))
 
     diff = field_lib.get_diff(params, emb)

@@ -75,6 +75,29 @@ def test_inside_ball_is_identity(rng):
     np.testing.assert_allclose(np.asarray(cov_j), cov, atol=1e-7)
 
 
+def test_factored_matches_dense(rng):
+    """contract_blob (the TPU compute path, no 3x3 arrays) must equal
+    diag(contract(mean, dense_cov)) exactly."""
+    from rsn.core.contract import contract_blob
+    from rsn.core.rays import conical_frustum_to_factored
+
+    o = rng.normal(0, 1, (64, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    s = rng.uniform(0.5, 4.0, (64, 1)).astype(np.float32)
+    e = s + rng.uniform(0.01, 1.0, (64, 1)).astype(np.float32)
+    r = rng.uniform(1e-3, 1e-1, (64, 1)).astype(np.float32)
+    blob = conical_frustum_to_factored(*map(jnp.asarray, (o, d, s, e, r)))
+
+    mean_f, diag_f = contract_blob(blob)
+    mean_d, cov_d = contract(blob.mean, blob.dense_cov())
+    diag_d = jax.nn.relu(jnp.diagonal(cov_d, axis1=-2, axis2=-1))
+    np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_d),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(diag_f), np.asarray(diag_d),
+                               rtol=2e-4, atol=1e-7)
+
+
 def test_zero_mean_no_nan():
     x = jnp.zeros((4, 3))
     cov = jnp.tile(jnp.eye(3)[None] * 0.1, (4, 1, 1))
