@@ -49,24 +49,21 @@ def main() -> None:
     train_step, optimizer = make_train_step(config)
     state = TrainState(params=params, opt_state=optimizer.init(params),
                        step=jnp.int32(0))
-    step_fn = jax.jit(lambda s, im, cam, k: train_step(s, im, cam, k),
-                      donate_argnums=(0,))
+    # no donation: the timing protocol re-invokes with the same state
+    step_fn = jax.jit(lambda s, im, cam, k: train_step(s, im, cam, k))
+
+    from rsn.utils.timing import time_fn
 
     key = jax.random.PRNGKey(0)
-    # compile + warmup
-    state, _ = step_fn(state, images, ds.cameras, key)
-    jax.block_until_ready(state.params)
-    n_train = 20
-    t0 = time.perf_counter()
-    for i in range(n_train):
-        state, metrics = step_fn(state, images, ds.cameras,
-                                 jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
-    train_dt = time.perf_counter() - t0
-    train_rays_s = n_train * batch / train_dt
+    # NOTE: block_until_ready is unreliable on the axon tunnel backend;
+    # time_fn uses the RTT-corrected differential protocol.
+    train_dt = time_fn(
+        lambda s, k: step_fn(s, images, ds.cameras, k)[1]["total_loss"],
+        state, key)
+    train_rays_s = batch / train_dt
 
     # render throughput: eval-mode 4-pass on a big ray chunk
-    R = 8192
+    R = 16384
     d = jax.random.normal(key, (R, 3))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     bundle = RayBundle(
@@ -75,16 +72,9 @@ def main() -> None:
         nears=jnp.zeros((R, 1)), fars=jnp.ones((R, 1)))
     bundle = model_lib.apply_collider(bundle, mcfg)
     render = jax.jit(lambda p, b, k: model_lib.get_outputs(
-        p, b, k, mcfg, training=False))
-    out = render(state.params, bundle, key)
-    jax.block_until_ready(out["mid_rgb_fine"])
-    n_render = 10
-    t0 = time.perf_counter()
-    for i in range(n_render):
-        out = render(state.params, bundle, jax.random.fold_in(key, i))
-    jax.block_until_ready(out["mid_rgb_fine"])
-    render_dt = time.perf_counter() - t0
-    render_rays_s = n_render * R / render_dt
+        p, b, k, mcfg, training=False)["mid_rgb_fine"])
+    render_dt = time_fn(render, state.params, bundle, key)
+    render_rays_s = R / render_dt
 
     # harmonic mean: one train ray + one render ray per "unit of use"
     combined = 2.0 / (1.0 / train_rays_s + 1.0 / render_rays_s)

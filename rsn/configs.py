@@ -76,6 +76,13 @@ class ModelConfig:
     mask_accumulation_threshold: float = 1e-2  # model.py:229
     background_color: str = "white"    # model.py:117
     compute_dtype: str = "float32"     # "bfloat16" for the trunk matmuls
+    # Fused Pallas field kernel for the eval/render path.  Default OFF:
+    # with the factored mid branch + bf16 activations the XLA pipeline
+    # reaches ~95 TF/s effective (close to this model's roofline — the
+    # IPE's ~100 transcendentals/sample cost ~6 ms/pass on the VPU
+    # regardless of where they run); the fused kernel currently matches
+    # but does not beat it end-to-end.  Kernels live in rsn/kernels.
+    use_pallas: bool = False
     bug_compat: BugCompat = dfield(default_factory=BugCompat)
 
 

@@ -1,0 +1,393 @@
+"""Fused field-forward Pallas TPU kernel: trunk (8x256, skip@4) + ALL
+heads in one pass, activations resident in VMEM.
+
+Why: the XLA trunk is HBM-bandwidth-bound — 8 layers round-trip a
+(N, 256) activation through HBM per layer (~17 GB at 4M samples,
+~25 ms), while the MXU work is only ~6 ms.  Fusing the whole field
+forward keeps every intermediate in VMEM; HBM traffic drops to one read
+of the (N, 128) padded IPE encoding plus one write of the (N, 384)
+combined output (bottleneck ++ raw head pre-activations).
+
+Layout of the combined output (bf16), see OUT_* constants:
+  [0:256)   bottleneck embedding (raw linear, feeds the mid-MLP)
+  [256]     density pre-activation
+  [257:260) diff head (pre-sigmoid)
+  [260:263) tint head (pre-sigmoid)
+  [263]     roughness head (raw)
+  [264:267) pred-normals head (raw linear; negate+normalize outside)
+  [267:384) zero padding (lane alignment)
+
+Head semantics mirror rsn.models.field (reference field.py:54-86); the
+`low` head is excluded (dead code, kept only in the checkpoint tree).
+
+Training uses a custom VJP whose backward re-derives gradients via the
+XLA path (recompute); the forward (eval/render hot path) runs here.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rsn.core.encodings import IPE_OUT_DIM  # 99
+from rsn.models.field import SKIP_AT, TRUNK_LAYERS, TRUNK_WIDTH
+
+ENC_PAD = 128  # 99 -> 128 lanes
+SKIP_PAD = ENC_PAD + TRUNK_WIDTH  # 384
+OUT_DIM = 384  # 267 useful columns -> 384 lanes
+OUT_BOTTLENECK = slice(0, 256)
+OUT_DENSITY = 256
+OUT_DIFF = slice(257, 260)
+OUT_TINT = slice(260, 263)
+OUT_ROUGH = 263
+OUT_NORMALS = slice(264, 267)
+N_HEAD_COLS = 267
+
+DEFAULT_TILE = 1024
+
+
+def pack_params(params: Dict[str, Any]):
+    """Pad + cast the field params into the kernel's operand list.
+
+    Weights bf16 (zero-padded), biases fp32 rows of shape (1, width).
+    Returns a flat tuple (w0..w7, b0..b7, wh, bh).
+    """
+    def pad_to(x, rows, cols):
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+    ws, bs = [], []
+    for i, layer in enumerate(params["trunk"]):
+        w = layer["w"]
+        rows = ENC_PAD if i == 0 else (SKIP_PAD if i == SKIP_AT
+                                       else TRUNK_WIDTH)
+        if i == SKIP_AT:
+            # our skip concat order is [enc, h] (nerfstudio MLP order);
+            # rows of w: first IPE_OUT_DIM for enc, then TRUNK_WIDTH for h.
+            w_enc = w[:IPE_OUT_DIM]
+            w_h = w[IPE_OUT_DIM:]
+            w = jnp.concatenate([
+                jnp.pad(w_enc, ((0, ENC_PAD - IPE_OUT_DIM), (0, 0))), w_h],
+                axis=0)
+        ws.append(pad_to(w, rows, TRUNK_WIDTH).astype(jnp.bfloat16))
+        bs.append(layer["b"].reshape(1, -1).astype(jnp.float32))
+
+    head_ws = [params["bottleneck"]["w"], params["density"]["w"],
+               params["diff"]["w"], params["tint"]["w"],
+               params["roughness"]["w"], params["normals"]["w"]]
+    head_bs = [params["bottleneck"]["b"], params["density"]["b"],
+               params["diff"]["b"], params["tint"]["b"],
+               params["roughness"]["b"], params["normals"]["b"]]
+    wh = jnp.concatenate(head_ws, axis=1)  # (256, 267)
+    bh = jnp.concatenate(head_bs, axis=0)  # (267,)
+    wh = pad_to(wh, TRUNK_WIDTH, OUT_DIM).astype(jnp.bfloat16)
+    bh = jnp.pad(bh, (0, OUT_DIM - N_HEAD_COLS)).reshape(1, -1).astype(
+        jnp.float32)
+    return tuple(ws) + tuple(bs) + (wh, bh)
+
+
+def _kernel(enc_ref, *refs):
+    (w0, w1, w2, w3, w4, w5, w6, w7,
+     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh, out_ref) = refs
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+
+    x = enc_ref[:]  # (T, 128) bf16
+    h = x
+    for i in range(TRUNK_LAYERS):
+        if i == SKIP_AT:
+            h = jnp.concatenate([x, h], axis=-1)  # (T, 384)
+        acc = jnp.dot(h, ws[i][:], preferred_element_type=jnp.float32)
+        h = jnp.maximum(acc + bs[i][:], 0.0).astype(jnp.bfloat16)
+    out = jnp.dot(h, wh[:], preferred_element_type=jnp.float32) + bh[:]
+    out_ref[:] = out.astype(jnp.bfloat16)
+
+
+# ---- v2: IPE fused into the kernel -------------------------------------
+# Input is the raw (mean, cov_diag) pair packed as (N, 16) fp32 — the
+# (N, 99) fp32 IPE encoding never touches HBM (measured: the XLA-side
+# IPE materialization + pad-to-128 cast cost as much as the whole
+# trunk).  The integrated positional encoding (sin + variance damping)
+# runs on the VPU in VMEM.
+
+IN_COLS = 16  # [mean(3) | cov_diag(3) | zero pad]
+
+
+def ipe_matrices():
+    """Constant operands that turn the in-kernel IPE into two small
+    matmuls + wide VPU ops (narrow (T,1)x(1,16) column broadcasts were
+    measured to halve kernel throughput).
+
+    A  (16, 128): mc @ A = sin arguments — cols [d*16+k] and
+                  [48+d*16+k] get 2*pi*f_k*mean_d; cols 96..98 get
+                  mean_d (identity pass-through).
+    bA (1, 128):  +pi/2 on the cos half [48:96).
+    V  (16, 128): mc @ V = f_k^2-scaled variances on the two halves.
+    M  (1, 128):  1.0 where expected-sin applies ([0:96)), 0 on the
+                  identity/pad tail.
+    Output layout matches rsn.core.encodings.ipe_encode:
+    [sin(48) | cos(48) | mean(3) | pad(29)] (variance intentionally not
+    (2*pi)^2-scaled — nerfstudio quirk).
+    """
+    import numpy as np
+    freqs = (2.0 ** np.linspace(0.0, 16.0, 16)).astype(np.float64)
+    A = np.zeros((IN_COLS, 128), np.float32)
+    V = np.zeros((IN_COLS, 128), np.float32)
+    bA = np.zeros((1, 128), np.float32)
+    M = np.zeros((1, 128), np.float32)
+    for d in range(3):
+        for k in range(16):
+            c = d * 16 + k
+            A[d, c] = 2.0 * np.pi * freqs[k]
+            A[d, 48 + c] = 2.0 * np.pi * freqs[k]
+            V[3 + d, c] = freqs[k] ** 2
+            V[3 + d, 48 + c] = freqs[k] ** 2
+        A[d, 96 + d] = 1.0
+    bA[0, 48:96] = np.pi / 2.0
+    M[0, 0:96] = 1.0
+    return (jnp.asarray(A), jnp.asarray(bA), jnp.asarray(V),
+            jnp.asarray(M))
+
+
+def _ipe_in_kernel(mc, A, bA, V, M):
+    """(T, 16) fp32 [mean|cov_diag] -> (T, 128) bf16 padded encoding."""
+    pre = jnp.dot(mc, A, preferred_element_type=jnp.float32) + bA
+    var = jnp.dot(mc, V, preferred_element_type=jnp.float32)
+    sin_part = jnp.exp(-0.5 * var) * jnp.sin(pre)
+    enc = M * sin_part + (1.0 - M) * pre
+    return enc.astype(jnp.bfloat16)
+
+
+def _kernel_v2(mc_ref, A_ref, bA_ref, V_ref, M_ref, *refs):
+    (w0, w1, w2, w3, w4, w5, w6, w7,
+     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh, out_ref) = refs
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+
+    x = _ipe_in_kernel(mc_ref[:], A_ref[:], bA_ref[:], V_ref[:], M_ref[:])
+    h = x
+    for i in range(TRUNK_LAYERS):
+        if i == SKIP_AT:
+            h = jnp.concatenate([x, h], axis=-1)  # (T, 384)
+        acc = jnp.dot(h, ws[i][:], preferred_element_type=jnp.float32)
+        h = jnp.maximum(acc + bs[i][:], 0.0).astype(jnp.bfloat16)
+    out = jnp.dot(h, wh[:], preferred_element_type=jnp.float32) + bh[:]
+    out_ref[:] = out.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def field_forward_v2(packed, mean_cov: jax.Array,
+                     tile: int = DEFAULT_TILE):
+    """mean_cov: (N, 16) fp32 [mean(3)|cov_diag(3)|pad] -> (N, 384) bf16
+    combined field output (same layout as `field_forward`)."""
+    n = mean_cov.shape[0]
+    assert n % tile == 0, (n, tile)
+    grid = (n // tile,)
+    ipe_ops = ipe_matrices()
+    in_specs = [
+        pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for m in ipe_ops:
+        in_specs.append(pl.BlockSpec(m.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    flops_per_row = 2 * (ENC_PAD * 256 + 3 * 256 * 256 + SKIP_PAD * 256
+                         + 3 * 256 * 256 + 256 * OUT_DIM)
+    return pl.pallas_call(
+        _kernel_v2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, OUT_DIM), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, OUT_DIM), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (IN_COLS * 4 + OUT_DIM * 2),
+            transcendentals=n * 192),
+    )(mean_cov, *ipe_ops, *packed)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def field_forward(packed, enc: jax.Array, tile: int = DEFAULT_TILE):
+    """enc: (N, 128) bf16 padded IPE encoding -> (N, 384) bf16 combined
+    field output (see module docstring for the column layout)."""
+    n = enc.shape[0]
+    assert n % tile == 0, (n, tile)
+    grid = (n // tile,)
+    in_specs = [pl.BlockSpec((tile, ENC_PAD), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    flops_per_row = 2 * (ENC_PAD * 256 + 3 * 256 * 256 + SKIP_PAD * 256
+                         + 3 * 256 * 256 + 256 * OUT_DIM)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, OUT_DIM), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, OUT_DIM), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (ENC_PAD + OUT_DIM) * 2,
+            transcendentals=0),
+    )(enc, *packed)
+
+
+# ---- v3: full field + directional (mid) branch in one kernel -----------
+# Adds the factored mid-MLP (see rsn.models.field.get_mid_factored): the
+# per-ray SH-band partial products G = basis_band @ W_enc_band enter as a
+# small (R, 4*128) operand; roughness attenuation exp(-softplus(r)*k) and
+# the whole mid branch run in VMEM.  The bottleneck embedding never
+# touches HBM.  Output shrinks to (N, 128) bf16:
+#   [0:3) mid_out = diff + tint*mid   [3:6) diff   [6:9) tint
+#   [9:12) pred-normals raw           [12] density pre-activation
+#   [13] roughness raw                [14:128) zero pad
+
+V3_OUT = 128
+V3_MID = slice(0, 3)
+V3_DIFF = slice(3, 6)
+V3_TINT = slice(6, 9)
+V3_NORMALS = slice(9, 12)
+V3_DENSITY = 12
+V3_ROUGH = 13
+_BAND_KS = (1.0, 3.0, 10.0, 36.0)
+
+
+def pack_params_v3(params: Dict[str, Any]):
+    """v2 operands + mid-MLP emb-half and mid head (bf16-padded)."""
+    base = pack_params(params)
+    w_emb = params["mid_mlp"]["w"][34:]  # (256, 128), ISH rows excluded
+    b_mid = params["mid_mlp"]["b"].reshape(1, -1).astype(jnp.float32)
+    w_out = jnp.pad(params["mid"]["w"], ((0, 0), (0, 125))).astype(
+        jnp.bfloat16)  # (128, 3) -> (128, 128)
+    b_out = jnp.pad(params["mid"]["b"], (0, 125)).reshape(1, -1).astype(
+        jnp.float32)
+    return base + (w_emb.astype(jnp.bfloat16), b_mid, w_out, b_out)
+
+
+def _kernel_v3(mc_ref, g_ref, A_ref, bA_ref, V_ref, M_ref, E_ref, *refs):
+    (w0, w1, w2, w3, w4, w5, w6, w7,
+     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
+     w_emb, b_mid, w_out, b_out, out_ref) = refs
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+
+    x = _ipe_in_kernel(mc_ref[:], A_ref[:], bA_ref[:], V_ref[:], M_ref[:])
+    h = x
+    for i in range(TRUNK_LAYERS):
+        if i == SKIP_AT:
+            h = jnp.concatenate([x, h], axis=-1)
+        acc = jnp.dot(h, ws[i][:], preferred_element_type=jnp.float32)
+        h = jnp.maximum(acc + bs[i][:], 0.0).astype(jnp.bfloat16)
+    heads = jnp.dot(h, wh[:], preferred_element_type=jnp.float32) + bh[:]
+    # heads columns per the v1/v2 layout
+    bneck = heads[:, 0:256].astype(jnp.bfloat16)
+    density_pre = heads[:, 256:257]
+    diff = jax.nn.sigmoid(heads[:, 257:260])
+    tint = jax.nn.sigmoid(heads[:, 260:263])
+    rough_raw = heads[:, 263:264]
+    normals_raw = heads[:, 264:267]
+
+    # factored mid branch: per-ray G bands broadcast to samples via the
+    # one-hot expansion matmul E (narrow repeats are VPU-hostile)
+    g_rep = jnp.dot(E_ref[:], g_ref[:],
+                    preferred_element_type=jnp.float32)  # (T, 512)
+    rough_sp = jax.nn.softplus(rough_raw)  # (T, 1)
+    mid_pre = jnp.dot(bneck, w_emb[:],
+                      preferred_element_type=jnp.float32) + b_mid[:]
+    for bi, k in enumerate(_BAND_KS):
+        band_rep = g_rep[:, bi * 128:(bi + 1) * 128]  # (T, 128)
+        mid_pre = mid_pre + jnp.exp(-rough_sp * k) * band_rep
+    hmid = jnp.maximum(mid_pre, 0.0).astype(jnp.bfloat16)
+    mid = jax.nn.sigmoid(
+        jnp.dot(hmid, w_out[:], preferred_element_type=jnp.float32)
+        + b_out[:])[:, 0:3]
+    mid_out = diff + tint * mid
+
+    zeros = jnp.zeros((x.shape[0], V3_OUT - 14), jnp.float32)
+    out = jnp.concatenate([mid_out, diff, tint, normals_raw, density_pre,
+                           rough_raw, zeros], axis=1)
+    out_ref[:] = out.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray"))
+def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
+                     samples_per_ray: int, tile: int = DEFAULT_TILE):
+    """Full fused field+mid forward.
+
+    mean_cov: (N, 16) fp32; g_bands: (R, 512) fp32 per-ray SH partials
+    (4 bands x 128); N = R * samples_per_ray.  -> (N, 128) bf16.
+    """
+    n = mean_cov.shape[0]
+    assert n % tile == 0, (n, tile)
+    assert tile % samples_per_ray == 0, (tile, samples_per_ray)
+    rays_per_tile = tile // samples_per_ray
+    grid = (n // tile,)
+    import numpy as np
+    ipe_ops = ipe_matrices()
+    # one-hot sample-expansion matrix: E[t, r] = 1 iff sample t belongs
+    # to in-tile ray r
+    E = jnp.asarray(np.kron(np.eye(rays_per_tile, dtype=np.float32),
+                            np.ones((samples_per_ray, 1), np.float32)))
+    in_specs = [
+        pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 512), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for m in ipe_ops:
+        in_specs.append(pl.BlockSpec(m.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(E.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    flops_per_row = 2 * (ENC_PAD * 256 + 3 * 256 * 256 + SKIP_PAD * 256
+                         + 3 * 256 * 256 + 256 * OUT_DIM + 256 * 128
+                         + 128 * 128)
+    return pl.pallas_call(
+        _kernel_v3,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, V3_OUT), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2) + 512 * 4 * (
+                n // samples_per_ray),
+            transcendentals=n * 200),
+    )(mean_cov, g_bands, *ipe_ops, E, *packed)
+
+
+def mid_g_bands(params: Dict[str, Any], ray_dirs: jax.Array,
+                sh_l8_m7_2x: bool = True) -> jax.Array:
+    """Per-ray SH-band partial products for the v3 kernel: (R, 512)."""
+    from rsn.core.encodings import sh_basis, _BAND_SLICES
+
+    basis = sh_basis(ray_dirs, sh_l8_m7_2x)  # (R, 34)
+    w_enc = params["mid_mlp"]["w"][:34]  # (34, 128)
+    parts = [basis[..., lo:hi] @ w_enc[lo:hi] for lo, hi, _ in _BAND_SLICES]
+    return jnp.concatenate(parts, axis=-1).astype(jnp.float32)  # (R, 512)
+
+
+def unpack_outputs(out: jax.Array) -> Dict[str, jax.Array]:
+    """Split the combined (.., 384) output into fp32 head tensors."""
+    return {
+        "bottleneck": out[..., OUT_BOTTLENECK],  # bf16, feeds mid-MLP
+        "density_preact": out[..., OUT_DENSITY:OUT_DENSITY + 1].astype(
+            jnp.float32),
+        "diff_raw": out[..., OUT_DIFF].astype(jnp.float32),
+        "tint_raw": out[..., OUT_TINT].astype(jnp.float32),
+        "rough_raw": out[..., OUT_ROUGH:OUT_ROUGH + 1].astype(jnp.float32),
+        "normals_raw": out[..., OUT_NORMALS].astype(jnp.float32),
+    }

@@ -47,6 +47,7 @@ DENSITY_BIAS = 0.5
 class FieldConfig:
     compute_dtype: Any = jnp.float32  # bf16 for the trunk matmuls if set
     sh_l8_m7_2x: bool = True  # replicate reference SH bug (SURVEY.md B#1)
+    use_pallas: bool = False  # fused field kernel (forward/eval path)
 
 
 def _linear_init(key: jax.Array, in_dim: int, out_dim: int) -> Params:
@@ -167,6 +168,54 @@ def get_analytic_normals(params: Params, mean: jax.Array,
     return jax.lax.stop_gradient(-normalize(g))
 
 
+def get_field_outputs(params: Params, mean: jax.Array, cov_diag: jax.Array,
+                      cfg: FieldConfig = FieldConfig(),
+                      differentiable: bool = True) -> Dict[str, jax.Array]:
+    """One trunk evaluation -> every per-sample head the model consumes.
+
+    Returns {density, density_preact, diff, tint, rough_raw,
+    pred_normals, bottleneck}.  With cfg.use_pallas and
+    differentiable=False, runs the fused VMEM-resident Pallas kernel
+    (rsn.kernels.field_pallas) — the render hot path; otherwise the XLA
+    composition (autodiff-friendly, used for training and parity).
+    """
+    if cfg.use_pallas and not differentiable:
+        from rsn.kernels import field_pallas as fp
+
+        mc = jnp.concatenate([mean, cov_diag], axis=-1)  # (..., 6)
+        flat = mc.reshape(-1, 6).astype(jnp.float32)
+        n = flat.shape[0]
+        tile = fp.DEFAULT_TILE
+        n_pad = -(-n // tile) * tile
+        flat = jnp.pad(flat, ((0, n_pad - n), (0, fp.IN_COLS - 6)))
+        out = fp.field_forward_v2(fp.pack_params(params), flat)[:n]
+        out = out.reshape(*mean.shape[:-1], fp.OUT_DIM)
+        h = fp.unpack_outputs(out)
+        preact = h["density_preact"]
+        return {
+            "density": jax.nn.softplus(preact + DENSITY_BIAS),
+            "density_preact": preact,
+            "diff": jax.nn.sigmoid(h["diff_raw"]),
+            "tint": jax.nn.sigmoid(h["tint_raw"]),
+            "rough_raw": h["rough_raw"],
+            "pred_normals": normalize(-h["normals_raw"]),
+            "bottleneck": h["bottleneck"],
+        }
+
+    density, emb, preact = get_density(params, mean, cov_diag, cfg)
+    act = None if cfg.compute_dtype == jnp.float32 else cfg.compute_dtype
+    return {
+        "density": density,
+        "density_preact": preact,
+        "diff": get_diff(params, emb),
+        "tint": get_tint(params, emb),
+        "rough_raw": _dense(params["roughness"], emb),
+        "pred_normals": get_pred_normals(params, emb),
+        "bottleneck": _dense(params["bottleneck"], emb, cfg.compute_dtype,
+                             out_dtype=act),
+    }
+
+
 def get_pred_normals(params: Params, embedding: jax.Array) -> jax.Array:
     """-normalize(linear(embedding))  (reference field.py:139-144)."""
     return normalize(-_dense(params["normals"], embedding))
@@ -212,6 +261,42 @@ def get_low(params: Params, embedding: jax.Array,
     h = jax.nn.relu(_dense(params["mid_mlp"],
                            jnp.concatenate([zeros, embedding], axis=-1),
                            cfg.compute_dtype, out_dtype=act))
+    return jax.nn.sigmoid(_dense(params["mid"], h))
+
+
+def get_mid_factored(params: Params, ray_dirs: jax.Array,
+                     roughness: jax.Array, bottleneck: jax.Array,
+                     cfg: FieldConfig = FieldConfig()) -> jax.Array:
+    """`get_mid` for sample batches whose directions are constant along
+    the ray (all four render passes: frustum dirs == ray dir broadcast).
+
+    TPU-first factorization: ISH(dirs, rough) = basis(dirs) * atten(rough)
+    where basis is per-RAY (S-fold cheaper) and atten takes only 4
+    distinct per-sample values (one per SH band).  The mid-MLP input
+    matmul therefore splits as
+        [ISH || emb] @ W = sum_band atten_b * (basis_b @ W_enc_b) + emb @ W_emb
+    with the four (R, band) @ (band, 128) products per ray and only FMAs
+    per sample.  Numerically identical up to matmul reassociation.
+
+    Args:
+      ray_dirs: (R, 3); roughness: (R, S, 1); bottleneck: (R, S, 256).
+    """
+    from rsn.core.encodings import sh_basis, _BAND_SLICES
+
+    basis = sh_basis(ray_dirs, cfg.sh_l8_m7_2x)  # (R, 34)
+    w = params["mid_mlp"]["w"]  # (290, 128): [enc(34) | emb(256)] rows
+    b = params["mid_mlp"]["b"]
+    w_enc, w_emb = w[:ISH_OUT_DIM], w[ISH_OUT_DIM:]
+    dtype = cfg.compute_dtype
+    act = None if dtype == jnp.float32 else dtype
+
+    pre = _dense({"w": w_emb, "b": b}, bottleneck, dtype)  # (R, S, 128) f32
+    for lo, hi, k in _BAND_SLICES:
+        g = basis[..., lo:hi] @ w_enc[lo:hi]  # (R, 128)
+        pre = pre + jnp.exp(-roughness * k) * g[..., None, :]
+    h = jax.nn.relu(pre)
+    if act is not None:
+        h = h.astype(act)
     return jax.nn.sigmoid(_dense(params["mid"], h))
 
 

@@ -52,8 +52,11 @@ sg = jax.lax.stop_gradient
 
 def _field_cfg(cfg: ModelConfig) -> FieldConfig:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    use_pallas = (cfg.use_pallas and dtype == jnp.bfloat16
+                  and jax.default_backend() != "cpu")
     return FieldConfig(compute_dtype=dtype,
-                       sh_l8_m7_2x=cfg.bug_compat.sh_l8_m7_2x)
+                       sh_l8_m7_2x=cfg.bug_compat.sh_l8_m7_2x,
+                       use_pallas=use_pallas)
 
 
 def apply_collider(ray_bundle: RayBundle, cfg: ModelConfig) -> RayBundle:
@@ -64,15 +67,64 @@ def apply_collider(ray_bundle: RayBundle, cfg: ModelConfig) -> RayBundle:
                               fars=ones * cfg.collider_far_plane)
 
 
+def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
+                training: bool):
+    """One field evaluation shared by all four passes: contraction +
+    trunk + heads + factored mid branch.
+
+    Returns dict(density, diff, tint, rough_raw, pred_normals, mid_out)
+    plus (mean, cov_diag) for the analytic-normals target.  The render
+    path (not training, cfg.use_pallas) runs the fully fused Pallas v3
+    kernel; training uses the XLA composition for autodiff.
+    """
+    blob = rays_lib.get_gaussian_blob(ray_samples)
+    mean, cov_diag = contract_blob(blob)
+    ray_dirs = ray_samples.directions[..., 0, :]  # constant along ray
+
+    if fcfg.use_pallas and not training:
+        from rsn.kernels import field_pallas as fp
+
+        R, S = mean.shape[0], mean.shape[1]
+        tile = S * max(1, fp.DEFAULT_TILE // S)
+        rays_per_tile = tile // S
+        r_pad = -(-R // rays_per_tile) * rays_per_tile
+        mc = jnp.concatenate([mean, cov_diag], axis=-1).reshape(R * S, 6)
+        mc = jnp.pad(mc, ((0, (r_pad - R) * S), (0, fp.IN_COLS - 6))
+                     ).astype(jnp.float32)
+        g = fp.mid_g_bands(params, ray_dirs, fcfg.sh_l8_m7_2x)
+        g = jnp.pad(g, ((0, r_pad - R), (0, 0)))
+        out = fp.field_forward_v3(fp.pack_params_v3(params), mc, g, S,
+                                  tile)[:R * S]
+        out = out.reshape(R, S, fp.V3_OUT)
+        preact = out[..., fp.V3_DENSITY:fp.V3_DENSITY + 1].astype(
+            jnp.float32)
+        return {
+            "density": jax.nn.softplus(preact + field_lib.DENSITY_BIAS),
+            "diff": out[..., fp.V3_DIFF].astype(jnp.float32),
+            "tint": out[..., fp.V3_TINT].astype(jnp.float32),
+            "rough_raw": out[..., fp.V3_ROUGH:fp.V3_ROUGH + 1].astype(
+                jnp.float32),
+            "pred_normals": normalize(
+                -out[..., fp.V3_NORMALS].astype(jnp.float32)),
+            "mid_out": out[..., fp.V3_MID].astype(jnp.float32),
+        }, mean, cov_diag
+
+    f = field_lib.get_field_outputs(params, mean, cov_diag, fcfg,
+                                    differentiable=training)
+    rough_sp = jax.nn.softplus(f["rough_raw"])
+    mid = field_lib.get_mid_factored(params, ray_dirs, sg(rough_sp),
+                                     f["bottleneck"], fcfg)
+    f["mid_out"] = f["diff"] + f["tint"] * mid
+    return f, mean, cov_diag
+
+
 def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
                   training: bool):
     """Shared body of passes 1 & 2: field evals + per-sample heads."""
-    blob = rays_lib.get_gaussian_blob(ray_samples)
-    mean, cov_diag = contract_blob(blob)
-    density, emb, _ = field_lib.get_density(params, mean, cov_diag, fcfg)
-    weights = ray_samples.get_weights(density)
+    f, mean, cov_diag = _eval_field(params, ray_samples, fcfg, training)
+    weights = ray_samples.get_weights(f["density"])
 
-    pred_normals = field_lib.get_pred_normals(params, emb)
+    pred_normals = f["pred_normals"]
     if training:
         normals = field_lib.get_analytic_normals(params, mean, cov_diag,
                                                  fcfg)
@@ -81,32 +133,19 @@ def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
     dirs = ray_samples.directions
     reflections, n_dot_d = field_lib.get_reflection(dirs, pred_normals)
 
-    diff = field_lib.get_diff(params, emb)
-    tint = field_lib.get_tint(params, emb)
-    rough_sp = field_lib.get_roughness(params, emb, jax.nn.softplus)
-    mid = field_lib.get_mid(params, dirs, sg(rough_sp), emb, True, fcfg)
-    mid = diff + tint * mid
-    return dict(weights=weights, emb=emb, pred_normals=pred_normals,
+    return dict(weights=weights, rough_raw=f["rough_raw"],
+                pred_normals=pred_normals,
                 normals=normals, reflections=reflections, n_dot_d=n_dot_d,
-                diff=diff, tint=tint, mid=mid)
+                diff=f["diff"], tint=f["tint"], mid=f["mid_out"])
 
 
 def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
                   training: bool):
     """Shared body of passes 3 & 4: reflected radiance with detached
     weights (model.py:292-313, 317-339)."""
-    blob = rays_lib.get_gaussian_blob(ray_samples)
-    mean, cov_diag = contract_blob(blob)
-    density, emb, _ = field_lib.get_density(params, mean, cov_diag, fcfg)
-    weights = sg(ray_samples.get_weights(density))
-
-    diff = field_lib.get_diff(params, emb)
-    tint = field_lib.get_tint(params, emb)
-    rough_sp = field_lib.get_roughness(params, emb, jax.nn.softplus)
-    mid = field_lib.get_mid(params, ray_samples.directions, sg(rough_sp),
-                            emb, True, fcfg)
-    rgb = diff + tint * mid
-    composited = render_rgb(rgb, weights, background_color=bg_color,
+    f, _, _ = _eval_field(params, ray_samples, fcfg, training)
+    weights = sg(ray_samples.get_weights(f["density"]))
+    composited = render_rgb(f["mid_out"], weights, background_color=bg_color,
                             training=training)
     return weights, composited
 
@@ -150,7 +189,7 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
     pred_normals_fine = sg(render_normals(f["pred_normals"], f["weights"]))
     n_dot_d = sg(jnp.sum(pred_normals_fine * ray_bundle.directions,
                          axis=-1, keepdims=True))
-    rough_sig = field_lib.get_roughness(params, f["emb"], jax.nn.sigmoid)
+    rough_sig = jax.nn.sigmoid(f["rough_raw"])
     roughness = render_scalar(rough_sig, f["weights"])  # live grad
 
     mask = jnp.logical_and(
