@@ -145,6 +145,14 @@ class TrainerConfig:
     num_devices: int = 0
     steps_per_log: int = 10
     viewer_num_rays_per_chunk: int = 1 << 10
+    # --- observability (SURVEY.md §5.1/§5.2: replaces the reference's
+    # unconditional host-sync prints and the near-dead NaN tripwire) ---
+    debug_nans: bool = False      # jax.config jax_debug_nans
+    debug_telemetry: bool = False  # per-step mask/loss stats in the log
+    profile_dir: str = ""         # jax.profiler trace dir ("" = off)
+    profile_start_step: int = 20
+    profile_num_steps: int = 5
+    vis: str = "jsonl"            # jsonl | tensorboard (both write jsonl)
 
 
 def replace(cfg, **kwargs):

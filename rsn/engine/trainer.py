@@ -94,23 +94,48 @@ def make_train_step(config: TrainerConfig):
                                             training=True)
             loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
             total = sum(jax.tree.leaves(loss_dict))
-            return total, loss_dict
+            aux = {"mask_fraction": jnp.mean(
+                outputs["mask"].astype(jnp.float32))}
+            return total, (loss_dict, aux)
 
-        (total, loss_dict), grads = jax.value_and_grad(
+        (total, (loss_dict, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             total = jax.lax.pmean(total, axis_name)
             loss_dict = jax.lax.pmean(loss_dict, axis_name)
+            aux = jax.lax.pmean(aux, axis_name)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
-        metrics = dict(loss_dict, total_loss=total)
+        metrics = dict(loss_dict, total_loss=total, **aux)
         return new_state, metrics
 
     return train_step, optimizer
+
+
+def make_eval_batch_step(config: TrainerConfig):
+    """Eval-batch loss (no grads) on the eval split — the inherited
+    Trainer's steps_per_eval_batch hook (reference config.py:30)."""
+    mcfg = config.pipeline.model
+    num_rays = config.pipeline.datamanager.eval_num_rays_per_batch
+
+    def eval_step(state: TrainState, images, cameras, key):
+        k_pix, k_render = jax.random.split(key)
+        bundle, gt = sample_pixel_batch(images, cameras, num_rays, k_pix)
+        bundle = model_lib.apply_collider(bundle, mcfg)
+        outputs = model_lib.get_outputs(state.params, bundle, k_render,
+                                        mcfg, training=False)
+        coeffs = loss_coefficients_traced(state.step)
+        loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
+        total = sum(jax.tree.leaves(loss_dict))
+        psnr = -10.0 * jnp.log10(jnp.maximum(jnp.mean(
+            (outputs["mid_rgb_fine"] - gt[..., :3]) ** 2), 1e-12))
+        return {"eval_loss": total, "eval_psnr_batch": psnr}
+
+    return eval_step
 
 
 def render_image(params, cameras: Cameras, camera_index: int,
@@ -219,7 +244,19 @@ class Trainer:
                                 step=jnp.int32(0))
         self.images = jnp.asarray(self.train_ds.images)
         self.cameras = self.train_ds.cameras
+        self.eval_images = jnp.asarray(self.eval_ds.images)
+        self._eval_step_fn = jax.jit(make_eval_batch_step(config))
         self._log_file = open(os.path.join(run_dir, "train_log.jsonl"), "a")
+        self._tb = None
+        if config.vis == "tensorboard":
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(run_dir, "tb"))
+            except Exception:
+                pass
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self._eval_image_cursor = 0
 
     def _make_sharded(self, per_device):
         from jax.sharding import PartitionSpec as P
@@ -250,30 +287,91 @@ class Trainer:
                                 opt_state=restored["opt_state"],
                                 step=jnp.int32(restored["step"]))
 
+    def _log(self, step: int, metrics: Dict[str, float]) -> None:
+        self._log_file.write(json.dumps({"step": step, **metrics}) + "\n")
+        self._log_file.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, v, step)
+
+    def _eval_image(self, step: int) -> Dict[str, float]:
+        """Full-image eval + panels (inherited steps_per_eval_image hook;
+        the reference's own version crashes on a missing key, SURVEY B#3
+        — fixed here by using mid_rgb_coarse)."""
+        from rsn import metrics as metrics_lib
+        from rsn.cli.render import render_panels, save_png
+
+        idx = self._eval_image_cursor % self.eval_ds.cameras.num_cameras
+        self._eval_image_cursor += 1
+        out = render_image(self.state.params, self.eval_ds.cameras, idx,
+                           self.config,
+                           mesh=self.mesh if self.num_devices > 1 else None)
+        gt = self.eval_ds.images[idx]
+        fine = np.clip(out["mid_reflect_fine"], 0, 1)
+        coarse = np.clip(out["mid_rgb_coarse"], 0, 1)
+        m = {
+            "coarse_psnr": float(metrics_lib.psnr(jnp.asarray(coarse),
+                                                  jnp.asarray(gt))),
+            "fine_psnr": float(metrics_lib.psnr(jnp.asarray(fine),
+                                                jnp.asarray(gt))),
+            "fine_ssim": float(metrics_lib.ssim(jnp.asarray(fine),
+                                                jnp.asarray(gt))),
+        }
+        m["psnr"] = m["fine_psnr"]
+        img_dir = os.path.join(self.run_dir, "eval_images")
+        os.makedirs(img_dir, exist_ok=True)
+        mcfg = self.config.pipeline.model
+        panels = render_panels(out, gt, mcfg.collider_near_plane,
+                               mcfg.collider_far_plane)
+        for name, img in panels.items():
+            save_png(os.path.join(img_dir, f"{step:09d}-{name}.png"), img)
+        return m
+
     def train(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
         max_steps = max_steps or cfg.max_num_iterations
         key = jax.random.PRNGKey(cfg.seed)
+        eval_key = jax.random.PRNGKey(cfg.seed + 1)
         last_metrics: Dict[str, float] = {}
         t0 = time.time()
         start = int(self.state.step)
+        profiling = False
         for step in range(start, max_steps):
+            if cfg.profile_dir and step == cfg.profile_start_step:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             self.state, metrics = self._step_fn(
                 self.state, self.images, self.cameras,
                 jax.random.fold_in(key, step))
+            if profiling and step == (cfg.profile_start_step
+                                      + cfg.profile_num_steps):
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                profiling = False
             if (step + 1) % cfg.steps_per_log == 0 or step == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
+                if not cfg.debug_telemetry:
+                    metrics.pop("mask_fraction", None)
                 rays = (step + 1 - start) * \
                     cfg.pipeline.datamanager.train_num_rays_per_batch * \
                     max(self.num_devices, 1)
                 dt = time.time() - t0
-                line = {"step": step + 1, "rays_per_sec": rays / dt,
-                        **metrics}
-                self._log_file.write(json.dumps(line) + "\n")
-                self._log_file.flush()
+                line = {"rays_per_sec": rays / dt, **metrics}
+                self._log(step + 1, line)
                 print(f"step {step+1}: loss={metrics['total_loss']:.4f} "
                       f"({rays/dt:,.0f} rays/s)", flush=True)
                 last_metrics = metrics
+            if (step + 1) % cfg.steps_per_eval_batch == 0:
+                em = self._eval_step_fn(
+                    self.state, self.eval_images, self.eval_ds.cameras,
+                    jax.random.fold_in(eval_key, step))
+                self._log(step + 1, {k: float(v) for k, v in em.items()})
+            if (step + 1) % cfg.steps_per_eval_image == 0:
+                m = self._eval_image(step + 1)
+                self._log(step + 1,
+                          {f"eval_image_{k}": v for k, v in m.items()})
+                print(f"step {step+1}: eval image psnr={m['psnr']:.2f}",
+                      flush=True)
             if (step + 1) % cfg.steps_per_save == 0 or step + 1 == max_steps:
                 ckpt_lib.save_checkpoint(self.ckpt_dir, step + 1,
                                          self.state.params,
