@@ -84,18 +84,52 @@ def init_field_params(key: jax.Array) -> Params:
     }
 
 
+@jax.custom_vjp
+def _matmul_bf16(xb: jax.Array, w: jax.Array) -> jax.Array:
+    """bf16 matmul with fp32 accumulation AND a bf16 backward.
+
+    Without this, JAX's dot_general transpose multiplies fp32 cotangents
+    against bf16 weights — XLA upcasts and the whole backward runs at
+    fp32 MXU rate.  Here dgrad/wgrad cast the cotangent to bf16 first
+    (standard mixed-precision training; fp32 accumulation everywhere).
+
+    xb must already be bf16; w is the fp32 parameter (dw stays fp32).
+    """
+    return jax.lax.dot_general(
+        xb, w.astype(jnp.bfloat16),
+        (((xb.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _matmul_bf16_fwd(xb, w):
+    return _matmul_bf16(xb, w), (xb, w.astype(jnp.bfloat16))
+
+
+def _matmul_bf16_bwd(res, g):
+    xb, wb = res
+    gb = g.astype(jnp.bfloat16)
+    dx = jax.lax.dot_general(
+        gb, wb, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    bdims = tuple(range(g.ndim - 1))  # wgrad contracts all batch dims
+    dw = jax.lax.dot_general(
+        xb, gb, ((bdims, bdims), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dx, dw
+
+
+_matmul_bf16.defvjp(_matmul_bf16_fwd, _matmul_bf16_bwd)
+
+
 def _dense(p: Params, x: jax.Array, dtype=None, out_dtype=None) -> jax.Array:
     """Linear layer; with dtype=bf16 the matmul operands are bf16 with
-    fp32 MXU accumulation (+ fp32 bias).  out_dtype optionally casts the
-    result (bf16 activations halve HBM traffic between fused regions)."""
+    fp32 MXU accumulation (+ fp32 bias) and a bf16 backward.
+    out_dtype optionally casts the result (bf16 activations halve HBM
+    traffic between fused regions)."""
     if dtype is None and x.dtype != jnp.float32:
         dtype = x.dtype  # bf16 embedding -> bf16 head matmul, fp32 out
     if dtype is not None and dtype != jnp.float32:
-        y = jax.lax.dot_general(
-            x.astype(dtype), p["w"].astype(dtype),
-            (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y = y + p["b"]
+        y = _matmul_bf16(x.astype(jnp.bfloat16), p["w"]) + p["b"]
     else:
         y = x @ p["w"] + p["b"]
     return y.astype(out_dtype) if out_dtype is not None else y
@@ -179,20 +213,31 @@ def get_field_outputs(params: Params, mean: jax.Array, cov_diag: jax.Array,
     (rsn.kernels.field_pallas) — the render hot path; otherwise the XLA
     composition (autodiff-friendly, used for training and parity).
     """
+    # Flatten to (N, C): 3D (R, S, C) tensors make XLA thrash layouts in
+    # the backward (measured: 106 layout copies of 268 MB each in one
+    # train-grad HLO — 180 GB of traffic).  2D matmuls keep one
+    # canonical layout end-to-end.
+    batch_shape = mean.shape[:-1]
+    mean = mean.reshape(-1, mean.shape[-1])
+    cov_diag = cov_diag.reshape(-1, cov_diag.shape[-1])
+
+    def unflatten(d):
+        return {k: v.reshape(*batch_shape, v.shape[-1])
+                for k, v in d.items()}
+
     if cfg.use_pallas and not differentiable:
         from rsn.kernels import field_pallas as fp
 
-        mc = jnp.concatenate([mean, cov_diag], axis=-1)  # (..., 6)
-        flat = mc.reshape(-1, 6).astype(jnp.float32)
+        flat = jnp.concatenate([mean, cov_diag], axis=-1).astype(
+            jnp.float32)  # (N, 6)
         n = flat.shape[0]
         tile = fp.DEFAULT_TILE
         n_pad = -(-n // tile) * tile
         flat = jnp.pad(flat, ((0, n_pad - n), (0, fp.IN_COLS - 6)))
         out = fp.field_forward_v2(fp.pack_params(params), flat)[:n]
-        out = out.reshape(*mean.shape[:-1], fp.OUT_DIM)
         h = fp.unpack_outputs(out)
         preact = h["density_preact"]
-        return {
+        return unflatten({
             "density": jax.nn.softplus(preact + DENSITY_BIAS),
             "density_preact": preact,
             "diff": jax.nn.sigmoid(h["diff_raw"]),
@@ -200,11 +245,11 @@ def get_field_outputs(params: Params, mean: jax.Array, cov_diag: jax.Array,
             "rough_raw": h["rough_raw"],
             "pred_normals": normalize(-h["normals_raw"]),
             "bottleneck": h["bottleneck"],
-        }
+        })
 
     density, emb, preact = get_density(params, mean, cov_diag, cfg)
     act = None if cfg.compute_dtype == jnp.float32 else cfg.compute_dtype
-    return {
+    return unflatten({
         "density": density,
         "density_preact": preact,
         "diff": get_diff(params, emb),
@@ -213,7 +258,7 @@ def get_field_outputs(params: Params, mean: jax.Array, cov_diag: jax.Array,
         "pred_normals": get_pred_normals(params, emb),
         "bottleneck": _dense(params["bottleneck"], emb, cfg.compute_dtype,
                              out_dtype=act),
-    }
+    })
 
 
 def get_pred_normals(params: Params, embedding: jax.Array) -> jax.Array:
@@ -290,14 +335,19 @@ def get_mid_factored(params: Params, ray_dirs: jax.Array,
     dtype = cfg.compute_dtype
     act = None if dtype == jnp.float32 else dtype
 
-    pre = _dense({"w": w_emb, "b": b}, bottleneck, dtype)  # (R, S, 128) f32
+    # flat 2D matmuls (3D batched shapes cause XLA layout copies)
+    batch_shape = bottleneck.shape[:-1]
+    flat = bottleneck.reshape(-1, bottleneck.shape[-1])
+    pre = _dense({"w": w_emb, "b": b}, flat, dtype)  # (N, 128) f32
+    pre = pre.reshape(*batch_shape, MID_WIDTH)
     for lo, hi, k in _BAND_SLICES:
         g = basis[..., lo:hi] @ w_enc[lo:hi]  # (R, 128)
         pre = pre + jnp.exp(-roughness * k) * g[..., None, :]
     h = jax.nn.relu(pre)
     if act is not None:
         h = h.astype(act)
-    return jax.nn.sigmoid(_dense(params["mid"], h))
+    out = jax.nn.sigmoid(_dense(params["mid"], h.reshape(-1, MID_WIDTH)))
+    return out.reshape(*batch_shape, 3)
 
 
 def get_diff(params: Params, embedding: jax.Array) -> jax.Array:
