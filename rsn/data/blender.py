@@ -47,6 +47,24 @@ def _load_image(path: str, downscale: int = 1) -> np.ndarray:
     return arr[..., :3]
 
 
+def _load_images_batch(paths: List[str], downscale: int = 1) -> np.ndarray:
+    """Decode a list of same-size images -> (N, H, W, 3) float32.
+
+    Uses the native multithreaded C++ PNG decoder (rsn.data.native;
+    white-alpha blend applied in C) when available and applicable;
+    falls back to PIL per-image otherwise.
+    """
+    if downscale == 1 and paths and paths[0].lower().endswith(".png"):
+        from rsn.data import native
+        probed = native.probe_png(paths[0])
+        if probed is not None:
+            h, w = probed
+            out = native.decode_png_batch(paths, h, w, blend_white=True)
+            if out is not None:
+                return out
+    return np.stack([_load_image(p, downscale) for p in paths])
+
+
 def load_blender(data_dir: str, split: str = "train", downscale: int = 1,
                  scale_factor: float = 1.0,
                  max_images: Optional[int] = None) -> Dataset:
@@ -59,16 +77,16 @@ def load_blender(data_dir: str, split: str = "train", downscale: int = 1,
     if max_images is not None:
         frames = frames[:max_images]
 
-    images: List[np.ndarray] = []
+    paths: List[str] = []
     poses: List[np.ndarray] = []
     for frame in frames:
         fname = os.path.join(data_dir, frame["file_path"].replace("./", ""))
         if not os.path.splitext(fname)[1]:
             fname = fname + ".png"
-        images.append(_load_image(fname, downscale))
+        paths.append(fname)
         poses.append(np.array(frame["transform_matrix"], dtype=np.float32))
 
-    imgs = np.stack(images)  # (N, H, W, 3)
+    imgs = _load_images_batch(paths, downscale)  # (N, H, W, 3)
     poses_np = np.stack(poses)  # (N, 4, 4)
     poses_np[:, :3, 3] *= scale_factor
     N, H, W = imgs.shape[:3]
