@@ -45,6 +45,34 @@ def render_panels(out: dict, gt: np.ndarray, near: float, far: float):
     return {"img": rgb, "accumulation": acc, "depth": depth}
 
 
+def orbit_cameras(reference_cameras, num_frames: int = 60,
+                  elevation: float = 0.35):
+    """Camera path: an orbit at the train cameras' mean radius looking
+    at the origin (the ns-render camera-path equivalent)."""
+    import jax.numpy as jnp
+    from rsn.data.cameras import Cameras
+    from rsn.data.synthetic import _look_at_pose
+
+    c2w = np.asarray(reference_cameras.camera_to_worlds)
+    radius = float(np.linalg.norm(c2w[:, :3, 3], axis=-1).mean())
+    poses = []
+    for i in range(num_frames):
+        theta = 2.0 * np.pi * i / num_frames
+        eye = np.array([np.cos(theta), np.sin(theta),
+                        np.sin(elevation)], np.float32)
+        eye *= radius / np.linalg.norm(eye)
+        poses.append(_look_at_pose(eye))
+    poses_np = np.stack(poses)
+    n = num_frames
+    return Cameras(
+        camera_to_worlds=jnp.asarray(poses_np[:, :3, :4]),
+        fx=jnp.full((n,), float(reference_cameras.fx[0])),
+        fy=jnp.full((n,), float(reference_cameras.fy[0])),
+        cx=jnp.full((n,), float(reference_cameras.cx[0])),
+        cy=jnp.full((n,), float(reference_cameras.cy[0])),
+        width=reference_cameras.width, height=reference_cameras.height)
+
+
 def main(argv=None) -> int:
     import argparse
     p = argparse.ArgumentParser(description="render a trained run")
@@ -52,6 +80,10 @@ def main(argv=None) -> int:
     p.add_argument("--output-dir", default=None)
     p.add_argument("--split", default="test")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--mode", default="split", choices=("split", "orbit"),
+                   help="split: eval cameras with gt panels; orbit: "
+                        "camera-path rgb frames")
+    p.add_argument("--num-frames", type=int, default=60)
     ns = p.parse_args(argv)
 
     from rsn.cli.run_io import load_run
@@ -63,12 +95,25 @@ def main(argv=None) -> int:
     dm = config.pipeline.datamanager
     dataset = load_dataset(dm.dataparser, dm.data or "", ns.split,
                            dm.downscale_factor, dm.scale_factor)
-    out_dir = ns.output_dir or os.path.join(ns.load_dir,
-                                            f"renders_{ns.split}")
+    out_dir = ns.output_dir or os.path.join(
+        ns.load_dir, f"renders_{ns.mode if ns.mode == 'orbit' else ns.split}")
     os.makedirs(out_dir, exist_ok=True)
     mesh = mesh_lib.make_mesh(config.num_devices)
     mesh = mesh if mesh.devices.size > 1 else None
     mcfg = config.pipeline.model
+
+    if ns.mode == "orbit":
+        cams = orbit_cameras(dataset.cameras, ns.num_frames)
+        n = cams.num_cameras if not ns.max_images else min(
+            cams.num_cameras, ns.max_images)
+        for i in range(n):
+            out = render_image(params, cams, i, config, mesh=mesh)
+            save_png(os.path.join(out_dir, f"frame_{i:05d}.png"),
+                     np.clip(out["mid_reflect_fine"], 0, 1))
+            print(f"rendered {i+1}/{n}", flush=True)
+        print(f"wrote {out_dir}")
+        return 0
+
     n = dataset.cameras.num_cameras
     if ns.max_images:
         n = min(n, ns.max_images)
