@@ -76,6 +76,7 @@ class ModelConfig:
     mask_accumulation_threshold: float = 1e-2  # model.py:229
     background_color: str = "white"    # model.py:117
     compute_dtype: str = "float32"     # "bfloat16" for the trunk matmuls
+    use_pallas_train: bool = False  # fused custom-VJP train kernel (TPU)
     # Fused Pallas field kernel for the eval/render path.  Default OFF:
     # with the factored mid branch + bf16 activations the XLA pipeline
     # reaches ~95 TF/s effective (close to this model's roofline — the

@@ -318,9 +318,11 @@ def _kernel_v3(mc_ref, g_ref, A_ref, bA_ref, V_ref, M_ref, E_ref, *refs):
     out_ref[:] = out.astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray"))
+@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
+                                               "interpret"))
 def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
-                     samples_per_ray: int, tile: int = DEFAULT_TILE):
+                     samples_per_ray: int, tile: int = DEFAULT_TILE,
+                     interpret: bool = False):
     """Full fused field+mid forward.
 
     mean_cov: (N, 16) fp32; g_bands: (R, 512) fp32 per-ray SH partials
@@ -358,6 +360,7 @@ def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
         _kernel_v3,
         grid=grid,
         in_specs=in_specs,
+        interpret=interpret,
         out_specs=pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, V3_OUT), jnp.bfloat16),

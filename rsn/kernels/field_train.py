@@ -1,0 +1,330 @@
+"""Fused field TRAINING kernel: custom-VJP around the v3 forward.
+
+Forward = rsn.kernels.field_pallas.field_forward_v3 (IPE + trunk +
+heads + factored mid branch, VMEM-resident).  Backward is a single
+Pallas kernel that RECOMPUTES the forward per tile in VMEM and
+backpropagates in place:
+
+- dgrad matmuls in bf16 (fp32 accumulation), wgrads accumulated in
+  fp32 VMEM accumulator outputs across grid steps (constant index_map;
+  initialized at grid step 0)
+- replicates the reference's detach: the roughness -> ISH attenuation
+  edge carries NO gradient (model.py:174,208 roughness.detach())
+- emits dmc (gradients wrt mean/cov — live through the reflected-pass
+  pixel_area/roughness chain) and dg (per-ray SH partials, chained to
+  the mid-MLP encoder rows outside)
+
+Residuals are just the kernel inputs (mc, g) — nothing else is saved,
+so training memory stays O(batch) instead of O(batch * layers).
+
+STATUS: experimental, off by default (ModelConfig.use_pallas_train).
+Validated for correctness (interpret-mode equivalence vs a pure-JAX
+shadow on CPU; bf16-level agreement with the XLA path on TPU), but the
+backward currently runs SLOWER than the XLA pipeline: the fp32 wgrad
+accumulator outputs use constant index_maps, which blocks Mosaic's
+cross-iteration pipelining and serializes the grid.  Next step: a 2D
+grid with per-outer-group wgrad outputs reduced in XLA.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rsn.kernels.field_pallas import (DEFAULT_TILE, ENC_PAD, IN_COLS,
+                                      OUT_DIM, SKIP_PAD, V3_OUT,
+                                      _ipe_in_kernel, field_forward_v3,
+                                      ipe_matrices, pack_params_v3,
+                                      _BAND_KS)
+from rsn.models.field import SKIP_AT, TRUNK_LAYERS
+
+N_PACKED = 22  # w0..7, b0..7, wh, bh, w_emb, b_mid, w_out, b_out
+
+
+def _bwd_kernel(mc_ref, grep_ref, dout_ref, A_ref, bA_ref, V_ref, M_ref,
+                *refs):
+    packed = refs[:N_PACKED]
+    (w0, w1, w2, w3, w4, w5, w6, w7,
+     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
+     w_emb, b_mid, w_out, b_out) = packed
+    outs = refs[N_PACKED:]
+    (dmc_ref, dg_ref) = outs[:2]
+    dpacked = outs[2:]  # same order as packed
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        for r in dpacked:
+            r[:] = jnp.zeros_like(r)
+
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+
+    # ---- forward recompute (keep activations in VMEM) ----
+    mc = mc_ref[:]
+    A, bA, V, M = A_ref[:], bA_ref[:], V_ref[:], M_ref[:]
+    pre_enc = jnp.dot(mc, A, preferred_element_type=f32) + bA
+    var = jnp.dot(mc, V, preferred_element_type=f32)
+    damp = jnp.exp(-0.5 * var)
+    sin_pre = jnp.sin(pre_enc)
+    x = (M * (damp * sin_pre) + (1.0 - M) * pre_enc).astype(bf16)
+
+    hs = []  # post-relu activations, bf16
+    h = x
+    for i in range(TRUNK_LAYERS):
+        if i == SKIP_AT:
+            h = jnp.concatenate([x, h], axis=-1)
+        acc = jnp.dot(h, ws[i][:], preferred_element_type=f32)
+        h = jnp.maximum(acc + bs[i][:], 0.0).astype(bf16)
+        hs.append(h)
+
+    heads = jnp.dot(h, wh[:], preferred_element_type=f32) + bh[:]
+    bneck = heads[:, 0:256].astype(bf16)
+    diff = jax.nn.sigmoid(heads[:, 257:260])
+    tint = jax.nn.sigmoid(heads[:, 260:263])
+    rough_raw = heads[:, 263:264]
+    rough_sp = jax.nn.softplus(rough_raw)
+
+    g_rep = grep_ref[:].astype(f32)  # (T, 512) per-sample SH partials
+    mid_pre = jnp.dot(bneck, w_emb[:], preferred_element_type=f32) + b_mid[:]
+    attens = []
+    for bi, k in enumerate(_BAND_KS):
+        a = jnp.exp(-rough_sp * k)
+        attens.append(a)
+        mid_pre = mid_pre + a * g_rep[:, bi * 128:(bi + 1) * 128]
+    hmid = jnp.maximum(mid_pre, 0.0).astype(bf16)
+    z_out = jnp.dot(hmid, w_out[:], preferred_element_type=f32) + b_out[:]
+    mid = jax.nn.sigmoid(z_out[:, 0:3])
+
+    # ---- backward ----
+    dout = dout_ref[:].astype(f32)  # (T, 128)
+    dmid_out = dout[:, 0:3]
+    ddiff = dmid_out + dout[:, 3:6]
+    dtint = dmid_out * mid + dout[:, 6:9]
+    dmid = dmid_out * tint
+    dnormals = dout[:, 9:12]
+    ddensity = dout[:, 12:13]
+    drough = dout[:, 13:14]
+
+    dz3 = dmid * mid * (1.0 - mid)  # (T, 3)
+    dz_out = jnp.concatenate(
+        [dz3, jnp.zeros((dz3.shape[0], 125), f32)], axis=1)
+    dz_out_b = dz_out.astype(bf16)
+    dpacked[20][:] += jax.lax.dot_general(
+        hmid, dz_out_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    dpacked[21][:] += jnp.sum(dz_out, axis=0, keepdims=True)
+    dhmid = jax.lax.dot_general(
+        dz_out_b, w_out[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    dmid_pre = dhmid * (mid_pre > 0.0)
+    dmid_pre_b = dmid_pre.astype(bf16)
+
+    # mid_pre = bneck @ w_emb + b_mid + sum_b atten_b * g_rep_b
+    dpacked[18][:] += jax.lax.dot_general(
+        bneck, dmid_pre_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    dpacked[19][:] += jnp.sum(dmid_pre, axis=0, keepdims=True)
+    dbneck = jax.lax.dot_general(
+        dmid_pre_b, w_emb[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    # dg: per-ray accumulation via E^T (atten edge wrt rough is DROPPED —
+    # reference detaches roughness into the directional encoding)
+    dg_cols = []
+    for bi in range(4):
+        dg_cols.append(attens[bi] * dmid_pre)
+    dg_all = jnp.concatenate(dg_cols, axis=1)  # (T, 512)
+    dg_ref[:] = dg_all.astype(bf16)  # per-sample; ray-reduced outside
+
+    # heads backward
+    d_heads = jnp.concatenate([
+        dbneck,
+        ddensity,
+        ddiff * diff * (1.0 - diff),
+        dtint * tint * (1.0 - tint),
+        drough,
+        dnormals,
+        jnp.zeros((dbneck.shape[0], OUT_DIM - 267), f32),
+    ], axis=1)  # (T, 384) — column order matches pack_params heads
+    d_heads_b = d_heads.astype(bf16)
+    dpacked[16][:] += jax.lax.dot_general(
+        hs[-1], d_heads_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    dpacked[17][:] += jnp.sum(d_heads, axis=0, keepdims=True)
+    dh = jax.lax.dot_general(
+        d_heads_b, wh[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+    # trunk backward
+    dx_extra = None
+    for i in range(TRUNK_LAYERS - 1, -1, -1):
+        inp = hs[i - 1] if i > 0 else x
+        if i == SKIP_AT:
+            inp = jnp.concatenate([x, hs[i - 1]], axis=-1)
+        mask = hs[i].astype(f32) > 0.0  # bf16 cmpf unsupported in Mosaic
+        dpre = (dh * mask).astype(bf16)
+        dpacked[i][:] += jax.lax.dot_general(
+            inp, dpre, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dpacked[8 + i][:] += jnp.sum(dh * mask, axis=0, keepdims=True)
+        dinp = jax.lax.dot_general(
+            dpre, ws[i][:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        if i == SKIP_AT:
+            dx_extra = dinp[:, 0:ENC_PAD]
+            dh = dinp[:, ENC_PAD:]
+        else:
+            dh = dinp
+    dx = dh + (dx_extra if dx_extra is not None else 0.0)  # (T, 128) f32
+
+    # IPE backward: x = M*(damp*sin(pre)) + (1-M)*pre
+    cos_pre = jnp.cos(pre_enc)
+    dpre_enc = dx * (M * damp * cos_pre + (1.0 - M))
+    dvar = dx * M * (-0.5) * damp * sin_pre
+    dmc = (jax.lax.dot_general(dpre_enc, A, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+           + jax.lax.dot_general(dvar, V, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32))
+    dmc_ref[:] = dmc
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
+                                               "interpret"))
+def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
+                      tile: int = DEFAULT_TILE, interpret: bool = False):
+    """-> (dmc (N,16), dg (R,512), dpacked tuple matching `packed`).
+
+    The per-ray SH partials are expanded to per-sample bf16 inside
+    (and the dg reduction over samples happens outside the kernel) so
+    the backward can run at tile=512 — the recompute-backward holds
+    ~2x the forward's VMEM working set and does not fit at 1024.
+    """
+    n = mean_cov.shape[0]
+    grid = (n // tile,)
+    ipe_ops = ipe_matrices()
+    g_rep = jnp.repeat(g_bands, samples_per_ray, axis=0).astype(
+        jnp.bfloat16)  # (N, 512)
+
+    in_specs = [
+        pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 512), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for m in ipe_ops:
+        in_specs.append(pl.BlockSpec(m.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((n, IN_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((n, 512), jnp.bfloat16),
+    ]
+    out_specs = [
+        pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 512), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for w in packed:  # fp32 accumulators, shapes of the packed operands
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    flops_per_row = 3 * 2 * (ENC_PAD * 256 + 7 * 256 * 256 + SKIP_PAD * 256
+                             + 256 * OUT_DIM + 256 * 128 + 128 * 128)
+    res = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        interpret=interpret,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2 + 512 * 4),
+            transcendentals=n * 300),
+    )(mean_cov, g_rep, d_out, *ipe_ops, *packed)
+    dmc, dg_samples = res[0], res[1]
+    dg = jnp.sum(dg_samples.astype(jnp.float32).reshape(
+        -1, samples_per_ray, 512), axis=1)
+    return dmc, dg, tuple(res[2:])
+
+
+# ---- custom-VJP wrapper -------------------------------------------------
+# Takes the fp32 params PYTREE as the differentiable argument so weight
+# gradients stay fp32 end-to-end (the kernel's accumulators are fp32);
+# dpacked (padded layout) is unpadded back into the tree here.
+
+from rsn.core.encodings import IPE_OUT_DIM as _IPE_DIM
+
+
+def _unpack_grads(params, dpacked):
+    """Map fp32 grads of the packed operands back onto the params tree."""
+    zeros_like = lambda p: jax.tree.map(jnp.zeros_like, p)
+    g: Dict[str, Any] = {"low": zeros_like(params["low"])}
+    trunk = []
+    for i in range(TRUNK_LAYERS):
+        dw = dpacked[i]
+        if i == SKIP_AT:
+            dw = jnp.concatenate([dw[:_IPE_DIM], dw[ENC_PAD:]], axis=0)
+        elif i == 0:
+            dw = dw[:_IPE_DIM]
+        trunk.append({"w": dw, "b": dpacked[8 + i][0]})
+    g["trunk"] = trunk
+    dwh, dbh = dpacked[16], dpacked[17][0]
+    cols = {"bottleneck": (0, 256), "density": (256, 257),
+            "diff": (257, 260), "tint": (260, 263),
+            "roughness": (263, 264), "normals": (264, 267)}
+    for name, (lo, hi) in cols.items():
+        g[name] = {"w": dwh[:, lo:hi], "b": dbh[lo:hi]}
+    # mid_mlp: encoder rows (0:34) get their grads via the dg chain
+    # (mid_g_bands is differentiable XLA code); emb rows from dpacked
+    g["mid_mlp"] = {
+        "w": jnp.concatenate([
+            jnp.zeros((34, dpacked[18].shape[1]), jnp.float32),
+            dpacked[18]], axis=0),
+        "b": dpacked[19][0],
+    }
+    g["mid"] = {"w": dpacked[20][:, 0:3], "b": dpacked[21][0, 0:3]}
+    return g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_field_train(params, mean_cov, g_bands, samples_per_ray,
+                      tile=DEFAULT_TILE):
+    return field_forward_v3(pack_params_v3(params), mean_cov, g_bands,
+                            samples_per_ray, tile)
+
+
+def _fwd(params, mean_cov, g_bands, samples_per_ray, tile):
+    out = fused_field_train(params, mean_cov, g_bands, samples_per_ray,
+                            tile)
+    return out, (params, mean_cov, g_bands)
+
+
+def _bwd(samples_per_ray, tile, res, d_out):
+    params, mean_cov, g_bands = res
+    packed = pack_params_v3(params)
+    # the recompute-backward holds ~2x the forward's VMEM working set
+    # (activations + fp32 wgrad accumulators); it runs at tile<=512
+    bwd_tile = min(tile, 512)
+    dmc, dg, dpacked = field_backward_v3(
+        packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
+        samples_per_ray, bwd_tile)
+    return _unpack_grads(params, dpacked), dmc, dg
+
+
+fused_field_train.defvjp(_fwd, _bwd)

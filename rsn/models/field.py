@@ -48,6 +48,7 @@ class FieldConfig:
     compute_dtype: Any = jnp.float32  # bf16 for the trunk matmuls if set
     sh_l8_m7_2x: bool = True  # replicate reference SH bug (SURVEY.md B#1)
     use_pallas: bool = False  # fused field kernel (forward/eval path)
+    use_pallas_train: bool = False  # fused custom-VJP kernel for training
 
 
 def _linear_init(key: jax.Array, in_dim: int, out_dim: int) -> Params:

@@ -52,11 +52,13 @@ sg = jax.lax.stop_gradient
 
 def _field_cfg(cfg: ModelConfig) -> FieldConfig:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    use_pallas = (cfg.use_pallas and dtype == jnp.bfloat16
-                  and jax.default_backend() != "cpu")
+    on_accel = jax.default_backend() != "cpu"
+    use_pallas = cfg.use_pallas and dtype == jnp.bfloat16 and on_accel
     return FieldConfig(compute_dtype=dtype,
                        sh_l8_m7_2x=cfg.bug_compat.sh_l8_m7_2x,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas,
+                       use_pallas_train=(use_pallas
+                                         and cfg.use_pallas_train))
 
 
 def apply_collider(ray_bundle: RayBundle, cfg: ModelConfig) -> RayBundle:
@@ -81,7 +83,9 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
     mean, cov_diag = contract_blob(blob)
     ray_dirs = ray_samples.directions[..., 0, :]  # constant along ray
 
-    if fcfg.use_pallas and not training:
+    use_kernel = fcfg.use_pallas and (not training
+                                      or fcfg.use_pallas_train)
+    if use_kernel:
         from rsn.kernels import field_pallas as fp
 
         R, S = mean.shape[0], mean.shape[1]
@@ -93,8 +97,12 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
                      ).astype(jnp.float32)
         g = fp.mid_g_bands(params, ray_dirs, fcfg.sh_l8_m7_2x)
         g = jnp.pad(g, ((0, r_pad - R), (0, 0)))
-        out = fp.field_forward_v3(fp.pack_params_v3(params), mc, g, S,
-                                  tile)[:R * S]
+        if training:
+            from rsn.kernels.field_train import fused_field_train
+            out = fused_field_train(params, mc, g, S, tile)[:R * S]
+        else:
+            out = fp.field_forward_v3(fp.pack_params_v3(params), mc, g, S,
+                                      tile)[:R * S]
         out = out.reshape(R, S, fp.V3_OUT)
         preact = out[..., fp.V3_DENSITY:fp.V3_DENSITY + 1].astype(
             jnp.float32)

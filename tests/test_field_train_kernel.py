@@ -1,0 +1,167 @@
+"""Fused training kernel (custom VJP): interpret-mode equivalence
+against a pure-JAX shadow of the identical math on CPU.
+
+The shadow mirrors the kernel's ops including bf16 casts and the
+detached roughness->attenuation edge, so outputs should agree to bf16
+noise and gradients to fp32 accumulation noise.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rsn.kernels import field_pallas as fp
+from rsn.kernels import field_train as ft
+from rsn.models import field as field_lib
+
+R, S = 8, 8
+N = R * S
+TILE = 32  # 4 rays per tile, 2 grid steps
+
+
+def shadow(params, mc, g):
+    """Pure-JAX mirror of _kernel_v3 / _bwd_kernel forward math."""
+    packed = fp.pack_params_v3(params)
+    (w0, w1, w2, w3, w4, w5, w6, w7,
+     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
+     w_emb, b_mid, w_out, b_out) = packed
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+    A, bA, V, M = fp.ipe_matrices()
+    f32, bf16 = jnp.float32, jnp.bfloat16
+
+    pre = mc @ A + bA
+    var = mc @ V
+    x = (M * (jnp.exp(-0.5 * var) * jnp.sin(pre))
+         + (1.0 - M) * pre).astype(bf16)
+    h = x
+    for i in range(8):
+        if i == fp.SKIP_AT:
+            h = jnp.concatenate([x, h], axis=-1)
+        acc = jax.lax.dot_general(h, ws[i], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        h = jnp.maximum(acc + bs[i], 0.0).astype(bf16)
+    heads = jax.lax.dot_general(h, wh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32) + bh
+    bneck = heads[:, 0:256].astype(bf16)
+    diff = jax.nn.sigmoid(heads[:, 257:260])
+    tint = jax.nn.sigmoid(heads[:, 260:263])
+    rough_raw = heads[:, 263:264]
+    normals_raw = heads[:, 264:267]
+    rough_sp = jax.lax.stop_gradient(jax.nn.softplus(rough_raw))
+
+    g_rep = jnp.repeat(g, S, axis=0)  # (N, 512)
+    mid_pre = jax.lax.dot_general(bneck, w_emb, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32) + b_mid
+    for bi, k in enumerate(ft._BAND_KS):
+        mid_pre = mid_pre + jnp.exp(-rough_sp * k) * \
+            g_rep[:, bi * 128:(bi + 1) * 128]
+    hmid = jnp.maximum(mid_pre, 0.0).astype(bf16)
+    z = jax.lax.dot_general(hmid, w_out, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32) + b_out
+    mid = jax.nn.sigmoid(z[:, 0:3])
+    mid_out = diff + tint * mid
+    out = jnp.concatenate(
+        [mid_out, diff, tint, normals_raw, heads[:, 256:257], rough_raw,
+         jnp.zeros((mc.shape[0], fp.V3_OUT - 14), f32)], axis=1)
+    return out.astype(bf16)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    mean = jax.random.normal(key, (N, 3)) * 0.5
+    cov = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1),
+                                    (N, 3))) * 1e-2
+    mc = jnp.pad(jnp.concatenate([mean, cov], axis=-1),
+                 ((0, 0), (0, 10))).astype(jnp.float32)
+    dirs = jax.random.normal(jax.random.fold_in(key, 2), (R, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    g = fp.mid_g_bands(params, dirs)
+    return params, mc, g
+
+
+def test_forward_matches_shadow(setup):
+    params, mc, g = setup
+    out_i = fp.field_forward_v3(fp.pack_params_v3(params), mc, g, S,
+                                tile=TILE, interpret=True)
+    out_s = shadow(params, mc, g)
+    np.testing.assert_allclose(np.asarray(out_i, np.float32),
+                               np.asarray(out_s, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_backward_matches_shadow_grads(setup):
+    params, mc, g = setup
+    key = jax.random.PRNGKey(3)
+    w_rand = jax.random.normal(key, (N, fp.V3_OUT))
+
+    def loss_shadow(p, m, gg):
+        return jnp.sum(shadow(p, m, gg).astype(jnp.float32) * w_rand)
+
+    gs_p, gs_mc, gs_g = jax.grad(loss_shadow, argnums=(0, 1, 2))(
+        params, mc, g)
+
+    d_out = w_rand.astype(jnp.bfloat16)
+    packed = fp.pack_params_v3(params)
+    dmc, dg, dpacked = ft.field_backward_v3(
+        packed, mc, g, d_out, S, tile=TILE, interpret=True)
+    gk_p = ft._unpack_grads(params, dpacked)
+
+    # compare params grads (skip mid_mlp encoder rows: those flow via dg)
+    np.testing.assert_allclose(np.asarray(gk_p["trunk"][0]["w"]),
+                               np.asarray(gs_p["trunk"][0]["w"]),
+                               atol=0.1, rtol=0.1)
+    np.testing.assert_allclose(np.asarray(gk_p["trunk"][4]["w"]),
+                               np.asarray(gs_p["trunk"][4]["w"]),
+                               atol=0.1, rtol=0.1)
+    for name in ("density", "diff", "tint", "roughness", "normals",
+                 "bottleneck", "mid"):
+        np.testing.assert_allclose(
+            np.asarray(gk_p[name]["w"]), np.asarray(gs_p[name]["w"]),
+            atol=0.05, rtol=0.1, err_msg=name)
+    np.testing.assert_allclose(np.asarray(gk_p["mid_mlp"]["w"][34:]),
+                               np.asarray(gs_p["mid_mlp"]["w"][34:]),
+                               atol=0.05, rtol=0.1)
+    np.testing.assert_allclose(np.asarray(dmc)[:, :6],
+                               np.asarray(gs_mc)[:, :6],
+                               atol=0.5, rtol=0.1)
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(gs_g),
+                               atol=0.05, rtol=0.1)
+
+
+def test_custom_vjp_chain_end_to_end(setup):
+    """grad through fused_field_train (interpret fwd+bwd) vs shadow."""
+    params, mc, g = setup
+    w_rand = jax.random.normal(jax.random.PRNGKey(4), (N, fp.V3_OUT))
+
+    # monkeypatch interpret mode into the vjp pair for CPU
+    import functools
+    orig_fwd = fp.field_forward_v3
+    orig_bwd = ft.field_backward_v3
+    fwd_i = functools.partial(orig_fwd, interpret=True)
+    bwd_i = functools.partial(orig_bwd, interpret=True)
+    fp_fwd_name, ft_bwd_name = "field_forward_v3", "field_backward_v3"
+    setattr(ft, fp_fwd_name, fwd_i)
+    setattr(ft, ft_bwd_name, bwd_i)
+    try:
+        def loss_k(p):
+            out = ft.fused_field_train(p, mc, g, S, TILE)
+            return jnp.sum(out.astype(jnp.float32) * w_rand)
+
+        def loss_s(p):
+            return jnp.sum(shadow(p, mc, g).astype(jnp.float32) * w_rand)
+
+        gk = jax.grad(loss_k)(params)
+        gs = jax.grad(loss_s)(params)
+        np.testing.assert_allclose(np.asarray(gk["diff"]["w"]),
+                                   np.asarray(gs["diff"]["w"]),
+                                   atol=0.05, rtol=0.1)
+        np.testing.assert_allclose(np.asarray(gk["trunk"][7]["w"]),
+                                   np.asarray(gs["trunk"][7]["w"]),
+                                   atol=0.1, rtol=0.1)
+    finally:
+        setattr(ft, fp_fwd_name, orig_fwd)
+        setattr(ft, ft_bwd_name, orig_bwd)
