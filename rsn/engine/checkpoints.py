@@ -57,8 +57,15 @@ def dump_config(run_dir: str, config) -> None:
             return {k: to_dict(v) for k, v in obj.items()}
         return obj
     os.makedirs(run_dir, exist_ok=True)
+    d = to_dict(config)
     with open(os.path.join(run_dir, "config.json"), "w") as f:
-        json.dump(to_dict(config), f, indent=2)
+        json.dump(d, f, indent=2)
+    try:  # also dump config.yml for ns-train output-layout parity
+        import yaml
+        with open(os.path.join(run_dir, "config.yml"), "w") as f:
+            yaml.safe_dump(d, f, sort_keys=False)
+    except Exception:
+        pass
 
 
 # --- torch -> rsn weight conversion (parity testing) -------------------
