@@ -21,7 +21,6 @@ from typing import Dict
 import numpy as np
 
 from rsn.cli.run_io import load_run
-from rsn.utils.cli import parse_config
 from rsn import metrics as metrics_lib
 
 

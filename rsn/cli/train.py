@@ -37,7 +37,14 @@ def main(argv=None) -> int:
                                 "--pipeline.datamanager.data)"),
             "--load-dir": dict(type=str, default=None, dest="load_dir",
                                help="resume from checkpoints dir"),
+            "--multihost": dict(action="store_true", dest="multihost",
+                                help="call jax.distributed.initialize() "
+                                     "for multi-host pods (coordinator "
+                                     "env vars per JAX docs)"),
         }, base=base)
+    if extras.multihost:
+        import jax
+        jax.distributed.initialize()
     if extras.data:
         from rsn.utils.cli import apply_overrides
         cfg = apply_overrides(cfg, {"pipeline.datamanager.data": extras.data})

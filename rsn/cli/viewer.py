@@ -13,7 +13,6 @@ Usage:
 from __future__ import annotations
 
 import io
-import json
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -141,8 +140,6 @@ def main(argv=None) -> int:
 
     from rsn.cli.run_io import load_run
     from rsn.data.blender import load_dataset
-    import dataclasses
-    import jax.numpy as jnp
 
     params, config, step = load_run(ns.load_dir)
     dm = config.pipeline.datamanager

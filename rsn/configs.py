@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field as dfield
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 LOSS_COEFFICIENTS: Dict[str, float] = {
     # model.py:56-69; "low" entries retained for key parity but unused

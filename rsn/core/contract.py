@@ -62,8 +62,6 @@ def contract_blob(blob):
     Identical values to diag(contract(mean, dense_cov)) — asserted by
     tests/test_contract.py::test_factored_matches_dense.
     """
-    import jax.numpy as jnp  # local alias keeps module header unchanged
-
     mean = blob.mean
     norm2 = jnp.sum(mean**2, axis=-1, keepdims=True)
     mask = norm2 > 1.0

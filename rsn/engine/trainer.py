@@ -16,7 +16,6 @@ Rebuilds the reference's inherited Trainer + pipeline + datamanager loop
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time
@@ -31,7 +30,7 @@ from flax import struct
 from rsn.configs import (LOSS_COEFFICIENTS, TrainerConfig, WARMUP_STEPS,
                          WARMUP_ZEROED)
 from rsn.core.rays import RayBundle
-from rsn.data.blender import Dataset, load_dataset
+from rsn.data.blender import load_dataset
 from rsn.data.cameras import Cameras, generate_rays
 from rsn.engine import checkpoints as ckpt_lib
 from rsn.engine.optimizers import build_field_optimizer
@@ -349,6 +348,9 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profiling = False
             if (step + 1) % cfg.steps_per_log == 0 or step == 0:
+                # one bulk device_get (each float() would pay a full
+                # host round trip — ~90 ms on tunneled backends)
+                metrics = jax.device_get(metrics)
                 metrics = {k: float(v) for k, v in metrics.items()}
                 if not cfg.debug_telemetry:
                     metrics.pop("mask_fraction", None)
@@ -362,9 +364,9 @@ class Trainer:
                       f"({rays/dt:,.0f} rays/s)", flush=True)
                 last_metrics = metrics
             if (step + 1) % cfg.steps_per_eval_batch == 0:
-                em = self._eval_step_fn(
+                em = jax.device_get(self._eval_step_fn(
                     self.state, self.eval_images, self.eval_ds.cameras,
-                    jax.random.fold_in(eval_key, step))
+                    jax.random.fold_in(eval_key, step)))
                 self._log(step + 1, {k: float(v) for k, v in em.items()})
             if (step + 1) % cfg.steps_per_eval_image == 0:
                 m = self._eval_image(step + 1)

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rsn.kernels.field_pallas import (DEFAULT_TILE, ENC_PAD, IN_COLS,
                                       OUT_DIM, SKIP_PAD, V3_OUT,
-                                      _ipe_in_kernel, field_forward_v3,
+                                      field_forward_v3,
                                       ipe_matrices, pack_params_v3,
                                       _BAND_KS)
 from rsn.models.field import SKIP_AT, TRUNK_LAYERS

@@ -28,7 +28,7 @@ PDF-jitter / random-background consumers.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ the host (SURVEY.md §5.8).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -71,3 +71,36 @@ def test_synthetic_scene_sphere_visible():
     assert (imgs[:, 0, 0] > 0.99).all()  # corners: white background
     center = imgs[:, 14:18, 14:18]
     assert center.mean() < 0.9  # sphere is darker than background
+
+
+def test_nerfstudio_format_loader(tmp_path):
+    """Real-capture loader: per-frame intrinsics, train/eval split."""
+    import json
+    from PIL import Image
+    from rsn.data.blender import load_nerfstudio
+
+    H, W = 12, 16
+    frames = []
+    for i in range(10):
+        rel = f"images/frame_{i:03d}.png"
+        (tmp_path / "images").mkdir(exist_ok=True)
+        arr = (np.random.default_rng(i).uniform(0, 255, (H, W, 3))
+               .astype(np.uint8))
+        Image.fromarray(arr).save(tmp_path / rel)
+        pose = np.eye(4)
+        pose[:3, 3] = [i * 0.1, 0, 4.0]
+        frames.append({"file_path": rel,
+                       "transform_matrix": pose.tolist(),
+                       "fl_x": 100.0 + i, "fl_y": 101.0 + i,
+                       "cx": W / 2, "cy": H / 2})
+    meta = {"frames": frames}
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump(meta, f)
+
+    train = load_nerfstudio(str(tmp_path), "train")
+    test = load_nerfstudio(str(tmp_path), "test")
+    assert train.images.shape[1:] == (H, W, 3)
+    assert train.cameras.num_cameras + test.cameras.num_cameras == 10
+    assert test.cameras.num_cameras >= 1
+    # per-frame intrinsics preserved
+    assert float(train.cameras.fx[1]) != float(train.cameras.fx[0])
