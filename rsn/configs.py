@@ -74,6 +74,10 @@ class ModelConfig:
     reflect_far: float = 2.0 ** 8      # model.py:113
     reciprocal_tan: float = 0.25       # model.py:111
     mask_accumulation_threshold: float = 1e-2  # model.py:229
+    # reflected passes run on the top-K masked rays, K = fraction * R
+    # (fixed-shape compaction; exact reference semantics while
+    # #masked <= K, see PARITY.md).  1.0 = process all rays.
+    reflect_ray_fraction: float = 1.0
     background_color: str = "white"    # model.py:117
     compute_dtype: str = "float32"     # "bfloat16" for the trunk matmuls
     use_pallas_train: bool = False  # fused custom-VJP train kernel (TPU)

@@ -215,8 +215,30 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         origins=origins, directions=reflections,
         pixel_area=jnp.pi * sqradius,
         nears=ones * near, fars=ones * cfg.reflect_far)
-    background_color = field_lib.get_inf_color(params, reflections,
-                                               sqradius, fcfg)
+
+    # Fixed-shape compaction (TPU replacement for the reference's
+    # boolean gather, model.py:267): when reflect_ray_fraction < 1,
+    # passes 3/4 run only on the top-K masked rays (top_k on the mask).
+    # Exact reference semantics whenever #masked <= K; excess masked
+    # rays fall back to the background fill.
+    R = mask.shape[0]
+    K = R if cfg.reflect_ray_fraction >= 1.0 else max(
+        8, int(R * cfg.reflect_ray_fraction))
+    if K < R:
+        _, sel = jax.lax.top_k(mask.astype(jnp.float32), K)
+        reflect_bundle = jax.tree.map(lambda x: x[sel], reflect_bundle)
+        sqradius_sel = sqradius[sel]
+        reflections_sel = reflections[sel]
+        # rays that are masked but beyond the cap fall back to bg fill
+        selected = jnp.zeros((R,), bool).at[sel].set(True)
+        eff_mask_col = (mask & selected)[:, None]
+    else:
+        sel = None
+        sqradius_sel = sqradius
+        reflections_sel = reflections
+        eff_mask_col = None
+    background_color = field_lib.get_inf_color(params, reflections_sel,
+                                               sqradius_sel, fcfg)
 
     # ---- pass 3: reflected coarse (model.py:292-313) ----
     recip = reciprocal_spacing(cfg.reciprocal_tan)
@@ -226,11 +248,20 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
     w_refl_coarse, mid_reflect_coarse_in = _reflect_pass(
         params, rs_recip, background_color, fcfg, training)
     bg_fill = white * (1.0 - accumulation_fine)  # live acc (model.py:240-241)
-    mask_col = mask[:, None]
-    mid_reflect_coarse = jnp.where(
-        mask_col,
-        jnp.clip(diff_fine + tint_fine * mid_reflect_coarse_in, 0.0, 1.0),
-        bg_fill)
+    mask_col = mask[:, None] if eff_mask_col is None else eff_mask_col
+
+    def scatter_reflect(composited_sub):
+        """K-subset reflected radiance -> (R, 3) full result."""
+        if sel is None:
+            inner = composited_sub
+        else:
+            inner = jnp.zeros((R, 3), composited_sub.dtype).at[sel].set(
+                composited_sub)
+        return jnp.where(
+            mask_col, jnp.clip(diff_fine + tint_fine * inner, 0.0, 1.0),
+            bg_fill)
+
+    mid_reflect_coarse = scatter_reflect(mid_reflect_coarse_in)
 
     # ---- pass 4: reflected fine (model.py:317-341) ----
     rs_refl_pdf = pdf_sample(reflect_bundle, rs_recip, w_refl_coarse, recip,
@@ -238,12 +269,14 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
                              key=strat(k_refl_pdf))
     w_refl_fine, mid_reflect_fine_in = _reflect_pass(
         params, rs_refl_pdf, background_color, fcfg, training)
-    mid_reflect_fine = jnp.where(
-        mask_col,
-        jnp.clip(diff_fine + tint_fine * mid_reflect_fine_in, 0.0, 1.0),
-        bg_fill)
-    depth_reflect_fine = render_depth_median(
+    mid_reflect_fine = scatter_reflect(mid_reflect_fine_in)
+    depth_sub = render_depth_median(
         w_refl_fine, rs_refl_pdf.starts, rs_refl_pdf.ends)
+    if sel is None:
+        depth_reflect_fine = depth_sub
+    else:
+        depth_reflect_fine = jnp.zeros((R, 1), depth_sub.dtype).at[sel].set(
+            depth_sub)
 
     return {
         "mid_rgb_coarse": mid_rgb_coarse,

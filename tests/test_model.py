@@ -155,3 +155,48 @@ def test_grads_finite_all_params(setup):
     g = jax.grad(loss)(params)
     for leaf in jax.tree.leaves(g):
         assert bool(jnp.isfinite(leaf).all())
+
+
+def test_reflect_compaction_exact_when_under_cap(setup):
+    """With #masked <= K the compacted reflected passes must reproduce
+    the uncompacted results exactly (same rng path per selected ray is
+    not guaranteed, but eval-mode samplers are deterministic)."""
+    import dataclasses
+    params, rb, _ = setup
+    key = jax.random.PRNGKey(11)
+    full = jax.jit(lambda p, r, k: M.get_outputs(p, r, k, CFG, False))(
+        params, rb, key)
+    n_masked = int(np.asarray(full["mask"]).sum())
+    if n_masked == 0 or n_masked > 6:
+        pytest.skip(f"fixture mask count {n_masked} unsuited")
+    cfg2 = dataclasses.replace(CFG, reflect_ray_fraction=6.0 / 8.0)
+    comp = jax.jit(lambda p, r, k: M.get_outputs(p, r, k, cfg2, False))(
+        params, rb, key)
+    np.testing.assert_allclose(np.asarray(comp["mid_reflect_fine"]),
+                               np.asarray(full["mid_reflect_fine"]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(comp["mask"]),
+                                  np.asarray(full["mask"]))
+
+
+def test_reflect_compaction_over_cap_falls_back(setup):
+    """With K below the masked count, excess masked rays must get the
+    background fill (and stay finite)."""
+    import dataclasses
+    params, rb, _ = setup
+    cfg2 = dataclasses.replace(CFG, reflect_ray_fraction=0.01)  # K=8? min 8
+    # force tiny K by many rays: use the 8-ray fixture -> K = max(8, .08)=8
+    # -> same as full; instead test fraction on a 32-ray bundle
+    key = jax.random.PRNGKey(12)
+    d = jax.random.normal(key, (32, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rb32 = M.apply_collider(
+        __import__("rsn.core.rays", fromlist=["RayBundle"]).RayBundle(
+            origins=jnp.zeros((32, 3)), directions=d,
+            pixel_area=jnp.full((32, 1), 1e-6),
+            nears=jnp.zeros((32, 1)), fars=jnp.ones((32, 1))), CFG)
+    cfg2 = dataclasses.replace(CFG, reflect_ray_fraction=0.25)  # K=8
+    out = jax.jit(lambda p, r, k: M.get_outputs(p, r, k, cfg2, False))(
+        params, rb32, key)
+    assert bool(jnp.isfinite(out["mid_reflect_fine"]).all())
+    assert out["mid_reflect_fine"].shape == (32, 3)
