@@ -17,3 +17,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize may set jax's platform config directly during
+# its register() call at interpreter start, which overrides the env var
+# above.  Backends initialize lazily, so re-forcing the config here
+# (before any test module touches a device) restores the CPU platform.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
