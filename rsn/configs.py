@@ -80,14 +80,18 @@ class ModelConfig:
     reflect_ray_fraction: float = 1.0
     background_color: str = "white"    # model.py:117
     compute_dtype: str = "float32"     # "bfloat16" for the trunk matmuls
-    use_pallas_train: bool = False  # fused custom-VJP train kernel (TPU)
-    # Fused Pallas field kernel for the eval/render path.  Default OFF:
-    # with the factored mid branch + bf16 activations the XLA pipeline
-    # reaches ~95 TF/s effective (close to this model's roofline — the
-    # IPE's ~100 transcendentals/sample cost ~6 ms/pass on the VPU
-    # regardless of where they run); the fused kernel currently matches
-    # but does not beat it end-to-end.  Kernels live in rsn/kernels.
-    use_pallas: bool = False
+    # Fused Pallas kernels (rsn/kernels).  Both are automatically gated
+    # to bfloat16 runs on an accelerator backend (see model._field_cfg);
+    # fp32 runs always use the XLA composition (closest-to-reference
+    # numerics for parity experiments).
+    #   use_pallas:       fused field forward for eval/render
+    #                     (measured: 239k vs 197k rays/s/chip XLA)
+    #   use_pallas_train: custom-VJP train kernel — v4 forward emits the
+    #                     analytic-normals gradient in-kernel, backward
+    #                     recomputes per tile with 2D-grid wgrad
+    #                     accumulators (139k vs 73k rays/s/chip XLA)
+    use_pallas_train: bool = True
+    use_pallas: bool = True
     bug_compat: BugCompat = dfield(default_factory=BugCompat)
 
 

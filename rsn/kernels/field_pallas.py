@@ -372,6 +372,154 @@ def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
     )(mean_cov, g_bands, *ipe_ops, E, *packed)
 
 
+# ---- v4: v3 + fused analytic-normals gradient --------------------------
+# Training needs the analytic normals target -normalize(d preact / d mean)
+# (reference field.py:125-147).  The XLA path computes it as a separate
+# jax.grad = one more forward + one dgrad backward through the trunk,
+# round-tripping activations through HBM.  Here the dgrad chain runs in
+# the SAME kernel invocation on the VMEM-resident activations: cotangent
+# seeded with the density head row, backprop through the 8 relu/matmul
+# layers and the IPE, emit d preact/d mean in out cols [14:17).
+# Costs ~1x extra forward FLOPs; saves the entire separate XLA pass.
+
+V4_DPDM = slice(14, 17)
+
+
+def pack_params_v4(params: Dict[str, Any]):
+    """v3 operands + the density head row as a (1, 256) fp32 operand
+    (slicing a lane column + transposing inside the kernel is
+    Mosaic-hostile; precomputing it is free)."""
+    wd_row = params["density"]["w"].reshape(1, TRUNK_WIDTH).astype(
+        jnp.float32)
+    return pack_params_v3(params) + (wd_row,)
+
+
+def _kernel_v4(mc_ref, g_ref, A_ref, bA_ref, V_ref, M_ref, E_ref, *refs):
+    (w0, w1, w2, w3, w4, w5, w6, w7,
+     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
+     w_emb, b_mid, w_out, b_out, wd_row, out_ref) = refs
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+    f32, bf16 = jnp.float32, jnp.bfloat16
+
+    # forward (identical math to _kernel_v3) keeping IPE intermediates
+    # and post-relu activations for the in-VMEM dgrad chain
+    mc = mc_ref[:]
+    A, bA, V, M = A_ref[:], bA_ref[:], V_ref[:], M_ref[:]
+    pre_enc = jnp.dot(mc, A, preferred_element_type=f32) + bA
+    var = jnp.dot(mc, V, preferred_element_type=f32)
+    damp = jnp.exp(-0.5 * var)
+    sin_pre = jnp.sin(pre_enc)
+    x = (M * (damp * sin_pre) + (1.0 - M) * pre_enc).astype(bf16)
+
+    hs = []
+    h = x
+    for i in range(TRUNK_LAYERS):
+        if i == SKIP_AT:
+            h = jnp.concatenate([x, h], axis=-1)
+        acc = jnp.dot(h, ws[i][:], preferred_element_type=f32)
+        h = jnp.maximum(acc + bs[i][:], 0.0).astype(bf16)
+        hs.append(h)
+    heads = jnp.dot(h, wh[:], preferred_element_type=f32) + bh[:]
+    bneck = heads[:, 0:256].astype(bf16)
+    density_pre = heads[:, 256:257]
+    diff = jax.nn.sigmoid(heads[:, 257:260])
+    tint = jax.nn.sigmoid(heads[:, 260:263])
+    rough_raw = heads[:, 263:264]
+    normals_raw = heads[:, 264:267]
+
+    g_rep = jnp.dot(E_ref[:], g_ref[:], preferred_element_type=f32)
+    rough_sp = jax.nn.softplus(rough_raw)
+    mid_pre = jnp.dot(bneck, w_emb[:], preferred_element_type=f32) + b_mid[:]
+    for bi, k in enumerate(_BAND_KS):
+        mid_pre = mid_pre + jnp.exp(-rough_sp * k) * \
+            g_rep[:, bi * 128:(bi + 1) * 128]
+    hmid = jnp.maximum(mid_pre, 0.0).astype(bf16)
+    mid = jax.nn.sigmoid(
+        jnp.dot(hmid, w_out[:], preferred_element_type=f32)
+        + b_out[:])[:, 0:3]
+    mid_out = diff + tint * mid
+
+    # ---- fused analytic-normals dgrad: d density_pre / d mean ----
+    # cotangent on the last post-relu activation is the density head row
+    dh = jnp.broadcast_to(wd_row[:], hs[-1].shape).astype(f32)
+    dx_extra = None
+    for i in range(TRUNK_LAYERS - 1, -1, -1):
+        mask = hs[i].astype(f32) > 0.0  # bf16 cmp unsupported in Mosaic
+        dpre = (dh * mask).astype(bf16)
+        dinp = jax.lax.dot_general(
+            dpre, ws[i][:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        if i == SKIP_AT:
+            dx_extra = dinp[:, 0:ENC_PAD]
+            dh = dinp[:, ENC_PAD:]
+        else:
+            dh = dinp
+    dx = dh + dx_extra  # (T, 128) fp32
+    # IPE chain: x = M*damp*sin(pre) + (1-M)*pre; var has no mean rows
+    dpre_enc = dx * (M * damp * jnp.cos(pre_enc) + (1.0 - M))
+    dmc = jax.lax.dot_general(dpre_enc, A, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)  # (T, 16)
+
+    zeros = jnp.zeros((x.shape[0], V3_OUT - 17), f32)
+    out = jnp.concatenate([mid_out, diff, tint, normals_raw, density_pre,
+                           rough_raw, dmc[:, 0:3], zeros], axis=1)
+    out_ref[:] = out.astype(bf16)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
+                                               "interpret"))
+def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
+                     samples_per_ray: int, tile: int = 512,
+                     interpret: bool = False):
+    """v3 forward + fused analytic-normals gradient.
+
+    packed: pack_params_v4 operands.  -> (N, 128) bf16 with the v3
+    layout plus d density_preact/d mean in cols V4_DPDM.
+    """
+    n = mean_cov.shape[0]
+    assert n % tile == 0, (n, tile)
+    assert tile % samples_per_ray == 0, (tile, samples_per_ray)
+    rays_per_tile = tile // samples_per_ray
+    grid = (n // tile,)
+    import numpy as np
+    ipe_ops = ipe_matrices()
+    E = jnp.asarray(np.kron(np.eye(rays_per_tile, dtype=np.float32),
+                            np.ones((samples_per_ray, 1), np.float32)))
+    in_specs = [
+        pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 512), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for m in ipe_ops:
+        in_specs.append(pl.BlockSpec(m.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(E.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    # forward + one dgrad chain ~= 2x the v3 flops
+    flops_per_row = 2 * 2 * (ENC_PAD * 256 + 3 * 256 * 256 + SKIP_PAD * 256
+                             + 3 * 256 * 256 + 256 * OUT_DIM + 256 * 128
+                             + 128 * 128)
+    return pl.pallas_call(
+        _kernel_v4,
+        grid=grid,
+        in_specs=in_specs,
+        interpret=interpret,
+        out_specs=pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, V3_OUT), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2) + 512 * 4 * (
+                n // samples_per_ray),
+            transcendentals=n * 300),
+    )(mean_cov, g_bands, *ipe_ops, E, *packed)
+
+
 def mid_g_bands(params: Dict[str, Any], ray_dirs: jax.Array,
                 sh_l8_m7_2x: bool = True) -> jax.Array:
     """Per-ray SH-band partial products for the v3 kernel: (R, 512)."""

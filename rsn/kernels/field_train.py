@@ -1,13 +1,17 @@
-"""Fused field TRAINING kernel: custom-VJP around the v3 forward.
+"""Fused field TRAINING kernel: custom-VJP around the v3/v4 forward.
 
 Forward = rsn.kernels.field_pallas.field_forward_v3 (IPE + trunk +
-heads + factored mid branch, VMEM-resident).  Backward is a single
-Pallas kernel that RECOMPUTES the forward per tile in VMEM and
-backpropagates in place:
+heads + factored mid branch, VMEM-resident) or field_forward_v4
+(v3 + the analytic-normals gradient fused into the same kernel — the
+primary passes need -normalize(d preact/d mean) as a loss target, and
+computing it in-kernel replaces a whole separate XLA forward+backward).
+Backward is a single Pallas kernel that RECOMPUTES the forward per tile
+in VMEM and backpropagates in place:
 
-- dgrad matmuls in bf16 (fp32 accumulation), wgrads accumulated in
-  fp32 VMEM accumulator outputs across grid steps (constant index_map;
-  initialized at grid step 0)
+- dgrad matmuls in bf16 (fp32 accumulation); wgrads accumulate in fp32
+  VMEM blocks per OUTER grid group (2D grid, inner dim innermost) and
+  are reduced across groups in XLA — v3's whole-grid constant-index
+  accumulators serialized Mosaic's pipeline (measured 2x slower)
 - replicates the reference's detach: the roughness -> ISH attenuation
   edge carries NO gradient (model.py:174,208 roughness.detach())
 - emits dmc (gradients wrt mean/cov — live through the reflected-pass
@@ -17,13 +21,10 @@ backpropagates in place:
 Residuals are just the kernel inputs (mc, g) — nothing else is saved,
 so training memory stays O(batch) instead of O(batch * layers).
 
-STATUS: experimental, off by default (ModelConfig.use_pallas_train).
-Validated for correctness (interpret-mode equivalence vs a pure-JAX
-shadow on CPU; bf16-level agreement with the XLA path on TPU), but the
-backward currently runs SLOWER than the XLA pipeline: the fp32 wgrad
-accumulator outputs use constant index_maps, which blocks Mosaic's
-cross-iteration pipelining and serializes the grid.  Next step: a 2D
-grid with per-outer-group wgrad outputs reduced in XLA.
+Correctness: interpret-mode equivalence vs a pure-JAX shadow on CPU
+(tests/test_field_train_kernel.py); bf16-level loss-curve agreement
+with the XLA path on TPU.  Measured on v5e: 139k train rays/s/chip vs
+73k for the XLA pipeline (batch 1024, full 128/128/64/64 model).
 """
 from __future__ import annotations
 
@@ -46,22 +47,30 @@ from rsn.models.field import SKIP_AT, TRUNK_LAYERS
 N_PACKED = 22  # w0..7, b0..7, wh, bh, w_emb, b_mid, w_out, b_out
 
 
-def _bwd_kernel(mc_ref, grep_ref, dout_ref, A_ref, bA_ref, V_ref, M_ref,
-                *refs):
+def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
+                     V_ref, M_ref, *refs):
     packed = refs[:N_PACKED]
     (w0, w1, w2, w3, w4, w5, w6, w7,
      b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
      w_emb, b_mid, w_out, b_out) = packed
     outs = refs[N_PACKED:]
     (dmc_ref, dg_ref) = outs[:2]
-    dpacked = outs[2:]  # same order as packed
+    dpacked_raw = outs[2:]  # same order as packed
 
-    first = pl.program_id(0) == 0
+    # v4 (two_d): wgrad accumulators are per-OUTER-group 3D blocks
+    # (1, rows, cols) re-zeroed at each inner step 0, reduced in XLA;
+    # v3: whole-grid 2D accumulators zeroed once at grid step 0.
+    if two_d:
+        first = pl.program_id(1) == 0
+        dpacked = [r.at[0] for r in dpacked_raw]
+    else:
+        first = pl.program_id(0) == 0
+        dpacked = list(dpacked_raw)
 
     @pl.when(first)
     def _init():
         for r in dpacked:
-            r[:] = jnp.zeros_like(r)
+            r[:] = jnp.zeros(r.shape, r.dtype)
 
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -196,6 +205,10 @@ def _bwd_kernel(mc_ref, grep_ref, dout_ref, A_ref, bA_ref, V_ref, M_ref,
     dmc_ref[:] = dmc
 
 
+_bwd_kernel = functools.partial(_bwd_kernel_impl, False)
+_bwd_kernel_2d = functools.partial(_bwd_kernel_impl, True)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
                                                "interpret"))
 def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
@@ -263,6 +276,83 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
     return dmc, dg, tuple(res[2:])
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
+                                               "inner", "interpret"))
+def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
+                      tile: int = 512, inner: int = 8,
+                      interpret: bool = False):
+    """2D-grid recompute-backward: same math as v3, but the fp32 wgrad
+    accumulators live per OUTER grid group ((outer, rows, cols) outputs,
+    index_map ignoring the inner dim) and are reduced in XLA afterwards.
+
+    v3's whole-grid constant-index accumulators serialize Mosaic's
+    cross-iteration pipeline (every step read-modify-writes the same
+    block); with the inner dim innermost, accumulation stays VMEM-
+    resident within a group while inputs double-buffer, and the flush
+    happens once per group (outer * ~2.7 MB of extra HBM writes).
+    """
+    n = mean_cov.shape[0]
+    n_tiles = n // tile
+    inner = max(1, min(inner, n_tiles))
+    while n_tiles % inner:
+        inner -= 1
+    outer = n_tiles // inner
+    grid = (outer, inner)
+    ipe_ops = ipe_matrices()
+    g_rep = jnp.repeat(g_bands, samples_per_ray, axis=0).astype(
+        jnp.bfloat16)
+
+    def row_map(o, i):
+        return (o * inner + i, 0)
+
+    in_specs = [
+        pl.BlockSpec((tile, IN_COLS), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 512), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
+    ]
+    for m in ipe_ops:
+        in_specs.append(pl.BlockSpec(m.shape, lambda o, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda o, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((n, IN_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((n, 512), jnp.bfloat16),
+    ]
+    out_specs = [
+        pl.BlockSpec((tile, IN_COLS), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 512), row_map, memory_space=pltpu.VMEM),
+    ]
+    for w in packed:  # per-outer-group fp32 accumulators
+        out_shapes.append(
+            jax.ShapeDtypeStruct((outer,) + w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec((1,) + w.shape,
+                                      lambda o, i: (o, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    flops_per_row = 3 * 2 * (ENC_PAD * 256 + 7 * 256 * 256 + SKIP_PAD * 256
+                             + 256 * OUT_DIM + 256 * 128 + 128 * 128)
+    res = pl.pallas_call(
+        _bwd_kernel_2d,
+        grid=grid,
+        in_specs=in_specs,
+        interpret=interpret,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2 + 512 * 4),
+            transcendentals=n * 300),
+    )(mean_cov, g_rep, d_out, *ipe_ops, *packed)
+    dmc, dg_samples = res[0], res[1]
+    dg = jnp.sum(dg_samples.astype(jnp.float32).reshape(
+        -1, samples_per_ray, 512), axis=1)
+    dpacked = tuple(jnp.sum(a, axis=0) for a in res[2:])
+    return dmc, dg, dpacked
+
+
 # ---- custom-VJP wrapper -------------------------------------------------
 # Takes the fp32 params PYTREE as the differentiable argument so weight
 # gradients stay fp32 end-to-end (the kernel's accumulators are fp32);
@@ -302,26 +392,41 @@ def _unpack_grads(params, dpacked):
     return g
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_field_train(params, mean_cov, g_bands, samples_per_ray,
-                      tile=DEFAULT_TILE):
+                      tile=DEFAULT_TILE, want_normals=False):
+    """Fused field forward with a recompute backward.
+
+    want_normals=True runs the v4 forward (cols V4_DPDM carry
+    d density_preact/d mean for the analytic-normals target; that chain
+    is stop_gradient by construction — the backward ignores those
+    cotangent columns, matching the reference where normals are a
+    detached regularization target, model.py:250-251).
+    """
+    from rsn.kernels.field_pallas import field_forward_v4, pack_params_v4
+
+    if want_normals:
+        # tile stays >= 8*samples_per_ray: the per-ray g_bands block
+        # needs >= 8 sublanes (Mosaic tiling constraint)
+        return field_forward_v4(pack_params_v4(params), mean_cov, g_bands,
+                                samples_per_ray, tile)
     return field_forward_v3(pack_params_v3(params), mean_cov, g_bands,
                             samples_per_ray, tile)
 
 
-def _fwd(params, mean_cov, g_bands, samples_per_ray, tile):
+def _fwd(params, mean_cov, g_bands, samples_per_ray, tile, want_normals):
     out = fused_field_train(params, mean_cov, g_bands, samples_per_ray,
-                            tile)
+                            tile, want_normals)
     return out, (params, mean_cov, g_bands)
 
 
-def _bwd(samples_per_ray, tile, res, d_out):
+def _bwd(samples_per_ray, tile, want_normals, res, d_out):
     params, mean_cov, g_bands = res
     packed = pack_params_v3(params)
     # the recompute-backward holds ~2x the forward's VMEM working set
     # (activations + fp32 wgrad accumulators); it runs at tile<=512
     bwd_tile = min(tile, 512)
-    dmc, dg, dpacked = field_backward_v3(
+    dmc, dg, dpacked = field_backward_v4(
         packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
         samples_per_ray, bwd_tile)
     return _unpack_grads(params, dpacked), dmc, dg

@@ -70,14 +70,16 @@ def apply_collider(ray_bundle: RayBundle, cfg: ModelConfig) -> RayBundle:
 
 
 def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
-                training: bool):
+                training: bool, want_normals: bool = False):
     """One field evaluation shared by all four passes: contraction +
     trunk + heads + factored mid branch.
 
-    Returns dict(density, diff, tint, rough_raw, pred_normals, mid_out)
-    plus (mean, cov_diag) for the analytic-normals target.  The render
-    path (not training, cfg.use_pallas) runs the fully fused Pallas v3
-    kernel; training uses the XLA composition for autodiff.
+    Returns dict(density, diff, tint, rough_raw, pred_normals, mid_out
+    [, normals]) plus (mean, cov_diag) for the analytic-normals target.
+    The render path (not training, cfg.use_pallas) runs the fully fused
+    Pallas v3 kernel; training uses the XLA composition for autodiff —
+    or, with use_pallas_train, the custom-VJP fused kernel whose v4
+    forward also emits the analytic-normals gradient (want_normals).
     """
     blob = rays_lib.get_gaussian_blob(ray_samples)
     mean, cov_diag = contract_blob(blob)
@@ -99,14 +101,15 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
         g = jnp.pad(g, ((0, r_pad - R), (0, 0)))
         if training:
             from rsn.kernels.field_train import fused_field_train
-            out = fused_field_train(params, mc, g, S, tile)[:R * S]
+            out = fused_field_train(params, mc, g, S, tile,
+                                    training and want_normals)[:R * S]
         else:
             out = fp.field_forward_v3(fp.pack_params_v3(params), mc, g, S,
                                       tile)[:R * S]
         out = out.reshape(R, S, fp.V3_OUT)
         preact = out[..., fp.V3_DENSITY:fp.V3_DENSITY + 1].astype(
             jnp.float32)
-        return {
+        f = {
             "density": jax.nn.softplus(preact + field_lib.DENSITY_BIAS),
             "diff": out[..., fp.V3_DIFF].astype(jnp.float32),
             "tint": out[..., fp.V3_TINT].astype(jnp.float32),
@@ -115,7 +118,11 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
             "pred_normals": normalize(
                 -out[..., fp.V3_NORMALS].astype(jnp.float32)),
             "mid_out": out[..., fp.V3_MID].astype(jnp.float32),
-        }, mean, cov_diag
+        }
+        if training and want_normals:
+            dpdm = out[..., fp.V4_DPDM].astype(jnp.float32)
+            f["normals"] = sg(-normalize(dpdm))
+        return f, mean, cov_diag
 
     f = field_lib.get_field_outputs(params, mean, cov_diag, fcfg,
                                     differentiable=training)
@@ -129,13 +136,18 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
 def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
                   training: bool):
     """Shared body of passes 1 & 2: field evals + per-sample heads."""
-    f, mean, cov_diag = _eval_field(params, ray_samples, fcfg, training)
+    f, mean, cov_diag = _eval_field(params, ray_samples, fcfg, training,
+                                    want_normals=training)
     weights = ray_samples.get_weights(f["density"])
 
     pred_normals = f["pred_normals"]
     if training:
-        normals = field_lib.get_analytic_normals(params, mean, cov_diag,
-                                                 fcfg)
+        # fused kernel path emits the analytic-normals target in-kernel;
+        # XLA path recomputes it via jax.grad under stop_gradient
+        normals = f.get("normals")
+        if normals is None:
+            normals = field_lib.get_analytic_normals(params, mean,
+                                                     cov_diag, fcfg)
     else:
         normals = sg(pred_normals)
     dirs = ray_samples.directions

@@ -132,6 +132,53 @@ def test_backward_matches_shadow_grads(setup):
                                atol=0.05, rtol=0.1)
 
 
+def test_backward_v4_matches_v3(setup):
+    """The 2D-grid backward must produce identical grads to v3."""
+    params, mc, g = setup
+    d_out = jax.random.normal(jax.random.PRNGKey(5),
+                              (N, fp.V3_OUT)).astype(jnp.bfloat16)
+    packed = fp.pack_params_v3(params)
+    dmc3, dg3, dp3 = ft.field_backward_v3(packed, mc, g, d_out, S,
+                                          tile=TILE, interpret=True)
+    dmc4, dg4, dp4 = ft.field_backward_v4(packed, mc, g, d_out, S,
+                                          tile=TILE, inner=2,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(dmc4), np.asarray(dmc3),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg4), np.asarray(dg3),
+                               rtol=1e-5, atol=1e-5)
+    for a3, a4 in zip(dp3, dp4):
+        # fp32 accumulation reassociated across groups -> tiny noise
+        np.testing.assert_allclose(np.asarray(a4), np.asarray(a3),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_forward_v4_normals_match_analytic(setup):
+    """v4's fused d preact/d mean must match get_analytic_normals."""
+    params, mc, g = setup
+    out = fp.field_forward_v4(fp.pack_params_v4(params), mc, g, S,
+                              tile=TILE, interpret=True)
+    # v3 columns must be unchanged
+    out3 = fp.field_forward_v3(fp.pack_params_v3(params), mc, g, S,
+                               tile=TILE, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[:, :14], np.float32),
+                               np.asarray(out3[:, :14], np.float32),
+                               atol=2e-2, rtol=2e-2)
+    dpdm = np.asarray(out[:, fp.V4_DPDM], np.float32)
+    kernel_normals = -dpdm / np.maximum(
+        np.linalg.norm(dpdm, axis=-1, keepdims=True), 1e-12)
+
+    mean, cov = mc[:, :3], mc[:, 3:6]
+    cfg = field_lib.FieldConfig(compute_dtype=jnp.bfloat16)
+    ref = np.asarray(field_lib.get_analytic_normals(params, mean, cov,
+                                                    cfg))
+    # both are bf16 chains; compare directions loosely but require the
+    # bulk to be tightly aligned
+    dots = np.sum(kernel_normals * ref, axis=-1)
+    assert np.median(dots) > 0.999, np.median(dots)
+    assert np.mean(dots > 0.99) > 0.9, np.mean(dots > 0.99)
+
+
 def test_custom_vjp_chain_end_to_end(setup):
     """grad through fused_field_train (interpret fwd+bwd) vs shadow."""
     params, mc, g = setup
@@ -139,11 +186,11 @@ def test_custom_vjp_chain_end_to_end(setup):
 
     # monkeypatch interpret mode into the vjp pair for CPU
     import functools
-    orig_fwd = fp.field_forward_v3
-    orig_bwd = ft.field_backward_v3
+    orig_fwd = ft.field_forward_v3
+    orig_bwd = ft.field_backward_v4
     fwd_i = functools.partial(orig_fwd, interpret=True)
     bwd_i = functools.partial(orig_bwd, interpret=True)
-    fp_fwd_name, ft_bwd_name = "field_forward_v3", "field_backward_v3"
+    fp_fwd_name, ft_bwd_name = "field_forward_v3", "field_backward_v4"
     setattr(ft, fp_fwd_name, fwd_i)
     setattr(ft, ft_bwd_name, bwd_i)
     try:
