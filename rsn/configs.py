@@ -104,6 +104,11 @@ class DataManagerConfig:
     alpha_color: str = "white"         # Blender RGBA -> RGB blending
     scale_factor: float = 1.0
     downscale_factor: int = 1
+    # pose refinement: "off" (reference behavior — the camera_opt
+    # optimizer group binds nothing, SURVEY.md B#6) or "SO3xR3"
+    # (per-camera se(3) deltas trained by the camera_opt group;
+    # rsn/models/camera_opt.py)
+    camera_optimizer: str = "off"
 
 
 @dataclass(frozen=True)

@@ -26,12 +26,15 @@ from rsn.models.field import (MID_WIDTH, SKIP_AT, TRUNK_LAYERS, TRUNK_WIDTH,
                               Params)
 
 
-def save_checkpoint(ckpt_dir: str, step: int, params, opt_state) -> str:
+def save_checkpoint(ckpt_dir: str, step: int, params, opt_state,
+                    extra: Optional[Dict[str, Any]] = None) -> str:
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, f"step-{step:09d}"))
+    state = {"params": params, "opt_state": opt_state, "step": step}
+    if extra:
+        state.update(extra)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {"params": params, "opt_state": opt_state,
-                          "step": step})
+        ckptr.save(path, state)
     return path
 
 

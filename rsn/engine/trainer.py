@@ -33,7 +33,7 @@ from rsn.core.rays import RayBundle
 from rsn.data.blender import load_dataset
 from rsn.data.cameras import Cameras, generate_rays
 from rsn.engine import checkpoints as ckpt_lib
-from rsn.engine.optimizers import build_field_optimizer
+from rsn.engine.optimizers import build_field_optimizer, build_optimizer
 from rsn.models import field as field_lib
 from rsn.models import model as model_lib
 from rsn.parallel import mesh as mesh_lib
@@ -44,6 +44,9 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array  # scalar int32
+    # camera pose refinement (None when camera_optimizer == "off")
+    camera: Any = None
+    camera_opt_state: Any = None
 
 
 def loss_coefficients_traced(step: jax.Array) -> Dict[str, jax.Array]:
@@ -76,9 +79,14 @@ def sample_pixel_batch(images: jax.Array, cameras: Cameras,
 def make_train_step(config: TrainerConfig):
     """Build the per-device train step; gradient pmean over `axis_name`
     replaces DDP's all-reduce (reference pipeline.py:73-77)."""
+    from rsn.models import camera_opt as camera_opt_lib
+
     mcfg = config.pipeline.model
     num_rays = config.pipeline.datamanager.train_num_rays_per_batch
     optimizer = build_field_optimizer(config.optimizers)
+    cam_mode = config.pipeline.datamanager.camera_optimizer
+    cam_optimizer = (build_optimizer(config.optimizers["camera_opt"])
+                     if cam_mode != "off" else None)
 
     def train_step(state: TrainState, images, cameras, key,
                    axis_name: Optional[str] = None):
@@ -88,8 +96,9 @@ def make_train_step(config: TrainerConfig):
         bundle = model_lib.apply_collider(bundle, mcfg)
         coeffs = loss_coefficients_traced(state.step)
 
-        def loss_fn(params):
-            outputs = model_lib.get_outputs(params, bundle, k_render, mcfg,
+        def loss_fn(params, cam):
+            b = camera_opt_lib.apply_to_bundle(bundle, cam, cam_mode)
+            outputs = model_lib.get_outputs(params, b, k_render, mcfg,
                                             training=True)
             loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
             total = sum(jax.tree.leaves(loss_dict))
@@ -97,18 +106,32 @@ def make_train_step(config: TrainerConfig):
                 outputs["mask"].astype(jnp.float32))}
             return total, (loss_dict, aux)
 
-        (total, (loss_dict, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        argnums = (0, 1) if cam_mode != "off" else 0
+        (total, (loss_dict, aux)), grads_all = jax.value_and_grad(
+            loss_fn, argnums=argnums, has_aux=True)(
+                state.params, state.camera)
+        if cam_mode != "off":
+            grads, cam_grads = grads_all
+        else:
+            grads, cam_grads = grads_all, None
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             total = jax.lax.pmean(total, axis_name)
             loss_dict = jax.lax.pmean(loss_dict, axis_name)
             aux = jax.lax.pmean(aux, axis_name)
+            if cam_grads is not None:
+                cam_grads = jax.lax.pmean(cam_grads, axis_name)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
+        camera, camera_opt_state = state.camera, state.camera_opt_state
+        if cam_grads is not None:
+            cam_updates, camera_opt_state = cam_optimizer.update(
+                cam_grads, camera_opt_state, camera)
+            camera = optax.apply_updates(camera, cam_updates)
         new_state = TrainState(params=params, opt_state=opt_state,
-                               step=state.step + 1)
+                               step=state.step + 1, camera=camera,
+                               camera_opt_state=camera_opt_state)
         metrics = dict(loss_dict, total_loss=total, **aux)
         return new_state, metrics
 
@@ -241,8 +264,17 @@ class Trainer:
         params = field_lib.init_field_params(
             jax.random.PRNGKey(config.seed))
         opt_state = self.optimizer.init(params)
+        from rsn.models import camera_opt as camera_opt_lib
+        cam_mode = config.pipeline.datamanager.camera_optimizer
+        camera = camera_opt_lib.init_camera_opt_params(
+            self.train_ds.cameras.num_cameras, cam_mode)
+        camera_opt_state = None
+        if camera is not None:
+            camera_opt_state = build_optimizer(
+                config.optimizers["camera_opt"]).init(camera)
         self.state = TrainState(params=params, opt_state=opt_state,
-                                step=jnp.int32(0))
+                                step=jnp.int32(0), camera=camera,
+                                camera_opt_state=camera_opt_state)
         self.images = jnp.asarray(self.train_ds.images)
         self.cameras = self.train_ds.cameras
         self.eval_images = jnp.asarray(self.eval_ds.images)
@@ -280,13 +312,18 @@ class Trainer:
         path = ckpt_lib.latest_checkpoint(load_dir)
         if path is None:
             raise FileNotFoundError(f"no checkpoints under {load_dir}")
-        restored = ckpt_lib.load_checkpoint(
-            path, {"params": self.state.params,
-                   "opt_state": self.state.opt_state,
-                   "step": int(self.state.step)})
-        self.state = TrainState(params=restored["params"],
-                                opt_state=restored["opt_state"],
-                                step=jnp.int32(restored["step"]))
+        abstract = {"params": self.state.params,
+                    "opt_state": self.state.opt_state,
+                    "step": int(self.state.step)}
+        if self.state.camera is not None:
+            abstract["camera"] = self.state.camera
+            abstract["camera_opt_state"] = self.state.camera_opt_state
+        restored = ckpt_lib.load_checkpoint(path, abstract)
+        self.state = TrainState(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=jnp.int32(restored["step"]),
+            camera=restored.get("camera"),
+            camera_opt_state=restored.get("camera_opt_state"))
 
     def _log(self, step: int, metrics: Dict[str, float]) -> None:
         self._log_file.write(json.dumps({"step": step, **metrics}) + "\n")
@@ -377,7 +414,11 @@ class Trainer:
                 print(f"step {step+1}: eval image psnr={m['psnr']:.2f}",
                       flush=True)
             if (step + 1) % cfg.steps_per_save == 0 or step + 1 == max_steps:
+                extra = None
+                if self.state.camera is not None:
+                    extra = {"camera": self.state.camera,
+                             "camera_opt_state": self.state.camera_opt_state}
                 ckpt_lib.save_checkpoint(self.ckpt_dir, step + 1,
                                          self.state.params,
-                                         self.state.opt_state)
+                                         self.state.opt_state, extra)
         return last_metrics
