@@ -273,49 +273,114 @@ def pack_params_v3(params: Dict[str, Any]):
     return base + (w_emb.astype(jnp.bfloat16), b_mid, w_out, b_out)
 
 
-def _kernel_v3(mc_ref, g_ref, A_ref, bA_ref, V_ref, M_ref, E_ref, *refs):
-    (w0, w1, w2, w3, w4, w5, w6, w7,
-     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
-     w_emb, b_mid, w_out, b_out, out_ref) = refs
-    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
-    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+N_HALVES = 2  # half-tile body: processing two data-independent halves
+# per grid step keeps each half's live activation set small enough that
+# the recompute-backward (field_train) fits VMEM at tile=1024 (+10%),
+# and lets v3/v4 share one forward body.  Forward throughput itself is
+# unchanged (robust median-of-5 timing: 107 TF/s either way — Mosaic's
+# scheduler already overlaps VPU/MXU within one tile).
 
-    x = _ipe_in_kernel(mc_ref[:], A_ref[:], bA_ref[:], V_ref[:], M_ref[:])
+
+def _field_half(mc, g_rep, ipe, ws, bs, wh, bh, w_emb, b_mid, w_out,
+                b_out, wd_row=None):
+    """Forward body for one half-tile -> (T/2, V3_OUT) fp32 columns.
+
+    With wd_row (v4), also runs the in-VMEM analytic-normals dgrad chain
+    and fills cols V4_DPDM with d density_preact/d mean.
+    """
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    A, bA, V, M = ipe
+    pre_enc = jnp.dot(mc, A, preferred_element_type=f32) + bA
+    var = jnp.dot(mc, V, preferred_element_type=f32)
+    damp = jnp.exp(-0.5 * var)
+    x = (M * (damp * jnp.sin(pre_enc)) + (1.0 - M) * pre_enc).astype(bf16)
+
+    hs = []
     h = x
     for i in range(TRUNK_LAYERS):
         if i == SKIP_AT:
             h = jnp.concatenate([x, h], axis=-1)
-        acc = jnp.dot(h, ws[i][:], preferred_element_type=jnp.float32)
-        h = jnp.maximum(acc + bs[i][:], 0.0).astype(jnp.bfloat16)
-    heads = jnp.dot(h, wh[:], preferred_element_type=jnp.float32) + bh[:]
+        acc = jnp.dot(h, ws[i][:], preferred_element_type=f32)
+        h = jnp.maximum(acc + bs[i][:], 0.0).astype(bf16)
+        if wd_row is not None:
+            hs.append(h)
+    heads = jnp.dot(h, wh[:], preferred_element_type=f32) + bh[:]
     # heads columns per the v1/v2 layout
-    bneck = heads[:, 0:256].astype(jnp.bfloat16)
+    bneck = heads[:, 0:256].astype(bf16)
     density_pre = heads[:, 256:257]
     diff = jax.nn.sigmoid(heads[:, 257:260])
     tint = jax.nn.sigmoid(heads[:, 260:263])
     rough_raw = heads[:, 263:264]
     normals_raw = heads[:, 264:267]
 
-    # factored mid branch: per-ray G bands broadcast to samples via the
-    # one-hot expansion matmul E (narrow repeats are VPU-hostile)
-    g_rep = jnp.dot(E_ref[:], g_ref[:],
-                    preferred_element_type=jnp.float32)  # (T, 512)
-    rough_sp = jax.nn.softplus(rough_raw)  # (T, 1)
-    mid_pre = jnp.dot(bneck, w_emb[:],
-                      preferred_element_type=jnp.float32) + b_mid[:]
+    rough_sp = jax.nn.softplus(rough_raw)
+    mid_pre = jnp.dot(bneck, w_emb[:], preferred_element_type=f32) + b_mid[:]
     for bi, k in enumerate(_BAND_KS):
-        band_rep = g_rep[:, bi * 128:(bi + 1) * 128]  # (T, 128)
+        band_rep = g_rep[:, bi * 128:(bi + 1) * 128]
         mid_pre = mid_pre + jnp.exp(-rough_sp * k) * band_rep
-    hmid = jnp.maximum(mid_pre, 0.0).astype(jnp.bfloat16)
+    hmid = jnp.maximum(mid_pre, 0.0).astype(bf16)
     mid = jax.nn.sigmoid(
-        jnp.dot(hmid, w_out[:], preferred_element_type=jnp.float32)
+        jnp.dot(hmid, w_out[:], preferred_element_type=f32)
         + b_out[:])[:, 0:3]
     mid_out = diff + tint * mid
 
-    zeros = jnp.zeros((x.shape[0], V3_OUT - 14), jnp.float32)
-    out = jnp.concatenate([mid_out, diff, tint, normals_raw, density_pre,
-                           rough_raw, zeros], axis=1)
-    out_ref[:] = out.astype(jnp.bfloat16)
+    if wd_row is None:
+        zeros = jnp.zeros((x.shape[0], V3_OUT - 14), f32)
+        return jnp.concatenate([mid_out, diff, tint, normals_raw,
+                                density_pre, rough_raw, zeros], axis=1)
+
+    # fused analytic-normals dgrad: d density_pre / d mean
+    dh = jnp.broadcast_to(wd_row[:], hs[-1].shape).astype(f32)
+    dx_extra = None
+    for i in range(TRUNK_LAYERS - 1, -1, -1):
+        mask = hs[i].astype(f32) > 0.0  # bf16 cmp unsupported in Mosaic
+        dpre = (dh * mask).astype(bf16)
+        dinp = jax.lax.dot_general(
+            dpre, ws[i][:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        if i == SKIP_AT:
+            dx_extra = dinp[:, 0:ENC_PAD]
+            dh = dinp[:, ENC_PAD:]
+        else:
+            dh = dinp
+    dx = dh + dx_extra
+    dpre_enc = dx * (M * damp * jnp.cos(pre_enc) + (1.0 - M))
+    dmc = jax.lax.dot_general(dpre_enc, A, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    zeros = jnp.zeros((x.shape[0], V3_OUT - 17), f32)
+    return jnp.concatenate([mid_out, diff, tint, normals_raw, density_pre,
+                            rough_raw, dmc[:, 0:3], zeros], axis=1)
+
+
+def _field_kernel_halved(want_normals, mc_ref, g_ref, A_ref, bA_ref,
+                         V_ref, M_ref, E_ref, *refs):
+    if want_normals:
+        (w0, w1, w2, w3, w4, w5, w6, w7,
+         b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
+         w_emb, b_mid, w_out, b_out, wd_row, out_ref) = refs
+    else:
+        (w0, w1, w2, w3, w4, w5, w6, w7,
+         b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
+         w_emb, b_mid, w_out, b_out, out_ref) = refs
+        wd_row = None
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+    ipe = (A_ref[:], bA_ref[:], V_ref[:], M_ref[:])
+
+    # per-ray G bands broadcast to samples via the one-hot expansion
+    # matmul E (narrow repeats are VPU-hostile)
+    g_rep = jnp.dot(E_ref[:], g_ref[:],
+                    preferred_element_type=jnp.float32)  # (T, 512)
+    T = mc_ref.shape[0]
+    H = T // N_HALVES
+    for p in range(N_HALVES):
+        out = _field_half(mc_ref[p * H:(p + 1) * H, :],
+                          g_rep[p * H:(p + 1) * H, :], ipe, ws, bs, wh,
+                          bh, w_emb, b_mid, w_out, b_out, wd_row)
+        out_ref[p * H:(p + 1) * H, :] = out.astype(jnp.bfloat16)
+
+
+_kernel_v3 = functools.partial(_field_kernel_halved, False)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
@@ -394,77 +459,7 @@ def pack_params_v4(params: Dict[str, Any]):
     return pack_params_v3(params) + (wd_row,)
 
 
-def _kernel_v4(mc_ref, g_ref, A_ref, bA_ref, V_ref, M_ref, E_ref, *refs):
-    (w0, w1, w2, w3, w4, w5, w6, w7,
-     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
-     w_emb, b_mid, w_out, b_out, wd_row, out_ref) = refs
-    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
-    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
-    f32, bf16 = jnp.float32, jnp.bfloat16
-
-    # forward (identical math to _kernel_v3) keeping IPE intermediates
-    # and post-relu activations for the in-VMEM dgrad chain
-    mc = mc_ref[:]
-    A, bA, V, M = A_ref[:], bA_ref[:], V_ref[:], M_ref[:]
-    pre_enc = jnp.dot(mc, A, preferred_element_type=f32) + bA
-    var = jnp.dot(mc, V, preferred_element_type=f32)
-    damp = jnp.exp(-0.5 * var)
-    sin_pre = jnp.sin(pre_enc)
-    x = (M * (damp * sin_pre) + (1.0 - M) * pre_enc).astype(bf16)
-
-    hs = []
-    h = x
-    for i in range(TRUNK_LAYERS):
-        if i == SKIP_AT:
-            h = jnp.concatenate([x, h], axis=-1)
-        acc = jnp.dot(h, ws[i][:], preferred_element_type=f32)
-        h = jnp.maximum(acc + bs[i][:], 0.0).astype(bf16)
-        hs.append(h)
-    heads = jnp.dot(h, wh[:], preferred_element_type=f32) + bh[:]
-    bneck = heads[:, 0:256].astype(bf16)
-    density_pre = heads[:, 256:257]
-    diff = jax.nn.sigmoid(heads[:, 257:260])
-    tint = jax.nn.sigmoid(heads[:, 260:263])
-    rough_raw = heads[:, 263:264]
-    normals_raw = heads[:, 264:267]
-
-    g_rep = jnp.dot(E_ref[:], g_ref[:], preferred_element_type=f32)
-    rough_sp = jax.nn.softplus(rough_raw)
-    mid_pre = jnp.dot(bneck, w_emb[:], preferred_element_type=f32) + b_mid[:]
-    for bi, k in enumerate(_BAND_KS):
-        mid_pre = mid_pre + jnp.exp(-rough_sp * k) * \
-            g_rep[:, bi * 128:(bi + 1) * 128]
-    hmid = jnp.maximum(mid_pre, 0.0).astype(bf16)
-    mid = jax.nn.sigmoid(
-        jnp.dot(hmid, w_out[:], preferred_element_type=f32)
-        + b_out[:])[:, 0:3]
-    mid_out = diff + tint * mid
-
-    # ---- fused analytic-normals dgrad: d density_pre / d mean ----
-    # cotangent on the last post-relu activation is the density head row
-    dh = jnp.broadcast_to(wd_row[:], hs[-1].shape).astype(f32)
-    dx_extra = None
-    for i in range(TRUNK_LAYERS - 1, -1, -1):
-        mask = hs[i].astype(f32) > 0.0  # bf16 cmp unsupported in Mosaic
-        dpre = (dh * mask).astype(bf16)
-        dinp = jax.lax.dot_general(
-            dpre, ws[i][:], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-        if i == SKIP_AT:
-            dx_extra = dinp[:, 0:ENC_PAD]
-            dh = dinp[:, ENC_PAD:]
-        else:
-            dh = dinp
-    dx = dh + dx_extra  # (T, 128) fp32
-    # IPE chain: x = M*damp*sin(pre) + (1-M)*pre; var has no mean rows
-    dpre_enc = dx * (M * damp * jnp.cos(pre_enc) + (1.0 - M))
-    dmc = jax.lax.dot_general(dpre_enc, A, (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)  # (T, 16)
-
-    zeros = jnp.zeros((x.shape[0], V3_OUT - 17), f32)
-    out = jnp.concatenate([mid_out, diff, tint, normals_raw, density_pre,
-                           rough_raw, dmc[:, 0:3], zeros], axis=1)
-    out_ref[:] = out.astype(bf16)
+_kernel_v4 = functools.partial(_field_kernel_halved, True)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",

@@ -72,14 +72,41 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
         for r in dpacked:
             r[:] = jnp.zeros(r.shape, r.dtype)
 
-    f32 = jnp.float32
-    bf16 = jnp.bfloat16
     ws = (w0, w1, w2, w3, w4, w5, w6, w7)
     bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+    ipe = (A_ref[:], bA_ref[:], V_ref[:], M_ref[:])
+
+    # interleaved half-tiles (see field_pallas.N_HALVES): the halves'
+    # recompute+backprop chains are data-independent, so Mosaic overlaps
+    # one half's VPU work with the other's MXU matmuls; only the wgrad
+    # accumulate points serialize.
+    T = mc_ref.shape[0]
+    H = T // 2
+    for p in range(2):
+        sl = slice(p * H, (p + 1) * H)
+        dmc, dg, contribs = _bwd_half(
+            mc_ref[sl, :], grep_ref[sl, :], dout_ref[sl, :], ipe, ws, bs,
+            wh, bh, w_emb, b_mid, w_out, b_out)
+        dmc_ref[sl, :] = dmc
+        dg_ref[sl, :] = dg
+        for j, c in enumerate(contribs):
+            dpacked[j][:] += c
+
+
+def _bwd_half(mc, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
+              w_out, b_out):
+    """Recompute-backward for one half-tile.
+
+    Returns (dmc (H,16) f32, dg (H,512) bf16, contribs[22]) where
+    contribs follow the packed-operand order (w0..7, b0..7, wh, bh,
+    w_emb, b_mid, w_out, b_out).
+    """
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    A, bA, V, M = ipe
+    contribs = [None] * N_PACKED
 
     # ---- forward recompute (keep activations in VMEM) ----
-    mc = mc_ref[:]
-    A, bA, V, M = A_ref[:], bA_ref[:], V_ref[:], M_ref[:]
     pre_enc = jnp.dot(mc, A, preferred_element_type=f32) + bA
     var = jnp.dot(mc, V, preferred_element_type=f32)
     damp = jnp.exp(-0.5 * var)
@@ -102,7 +129,7 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
     rough_raw = heads[:, 263:264]
     rough_sp = jax.nn.softplus(rough_raw)
 
-    g_rep = grep_ref[:].astype(f32)  # (T, 512) per-sample SH partials
+    g_rep = g_rep_b.astype(f32)  # (H, 512) per-sample SH partials
     mid_pre = jnp.dot(bneck, w_emb[:], preferred_element_type=f32) + b_mid[:]
     attens = []
     for bi, k in enumerate(_BAND_KS):
@@ -114,7 +141,7 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
     mid = jax.nn.sigmoid(z_out[:, 0:3])
 
     # ---- backward ----
-    dout = dout_ref[:].astype(f32)  # (T, 128)
+    dout = dout_b.astype(f32)  # (H, 128)
     dmid_out = dout[:, 0:3]
     ddiff = dmid_out + dout[:, 3:6]
     dtint = dmid_out * mid + dout[:, 6:9]
@@ -123,14 +150,14 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
     ddensity = dout[:, 12:13]
     drough = dout[:, 13:14]
 
-    dz3 = dmid * mid * (1.0 - mid)  # (T, 3)
+    dz3 = dmid * mid * (1.0 - mid)  # (H, 3)
     dz_out = jnp.concatenate(
         [dz3, jnp.zeros((dz3.shape[0], 125), f32)], axis=1)
     dz_out_b = dz_out.astype(bf16)
-    dpacked[20][:] += jax.lax.dot_general(
+    contribs[20] = jax.lax.dot_general(
         hmid, dz_out_b, (((0,), (0,)), ((), ())),
         preferred_element_type=f32)
-    dpacked[21][:] += jnp.sum(dz_out, axis=0, keepdims=True)
+    contribs[21] = jnp.sum(dz_out, axis=0, keepdims=True)
     dhmid = jax.lax.dot_general(
         dz_out_b, w_out[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32)
@@ -138,10 +165,10 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
     dmid_pre_b = dmid_pre.astype(bf16)
 
     # mid_pre = bneck @ w_emb + b_mid + sum_b atten_b * g_rep_b
-    dpacked[18][:] += jax.lax.dot_general(
+    contribs[18] = jax.lax.dot_general(
         bneck, dmid_pre_b, (((0,), (0,)), ((), ())),
         preferred_element_type=f32)
-    dpacked[19][:] += jnp.sum(dmid_pre, axis=0, keepdims=True)
+    contribs[19] = jnp.sum(dmid_pre, axis=0, keepdims=True)
     dbneck = jax.lax.dot_general(
         dmid_pre_b, w_emb[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32)
@@ -150,8 +177,8 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
     dg_cols = []
     for bi in range(4):
         dg_cols.append(attens[bi] * dmid_pre)
-    dg_all = jnp.concatenate(dg_cols, axis=1)  # (T, 512)
-    dg_ref[:] = dg_all.astype(bf16)  # per-sample; ray-reduced outside
+    dg_all = jnp.concatenate(dg_cols, axis=1)  # (H, 512)
+    dg = dg_all.astype(bf16)  # per-sample; ray-reduced outside
 
     # heads backward
     d_heads = jnp.concatenate([
@@ -162,12 +189,12 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
         drough,
         dnormals,
         jnp.zeros((dbneck.shape[0], OUT_DIM - 267), f32),
-    ], axis=1)  # (T, 384) — column order matches pack_params heads
+    ], axis=1)  # (H, 384) — column order matches pack_params heads
     d_heads_b = d_heads.astype(bf16)
-    dpacked[16][:] += jax.lax.dot_general(
+    contribs[16] = jax.lax.dot_general(
         hs[-1], d_heads_b, (((0,), (0,)), ((), ())),
         preferred_element_type=f32)
-    dpacked[17][:] += jnp.sum(d_heads, axis=0, keepdims=True)
+    contribs[17] = jnp.sum(d_heads, axis=0, keepdims=True)
     dh = jax.lax.dot_general(
         d_heads_b, wh[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32)
@@ -180,10 +207,10 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
             inp = jnp.concatenate([x, hs[i - 1]], axis=-1)
         mask = hs[i].astype(f32) > 0.0  # bf16 cmpf unsupported in Mosaic
         dpre = (dh * mask).astype(bf16)
-        dpacked[i][:] += jax.lax.dot_general(
+        contribs[i] = jax.lax.dot_general(
             inp, dpre, (((0,), (0,)), ((), ())),
             preferred_element_type=f32)
-        dpacked[8 + i][:] += jnp.sum(dh * mask, axis=0, keepdims=True)
+        contribs[8 + i] = jnp.sum(dh * mask, axis=0, keepdims=True)
         dinp = jax.lax.dot_general(
             dpre, ws[i][:], (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
@@ -192,7 +219,7 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
             dh = dinp[:, ENC_PAD:]
         else:
             dh = dinp
-    dx = dh + (dx_extra if dx_extra is not None else 0.0)  # (T, 128) f32
+    dx = dh + (dx_extra if dx_extra is not None else 0.0)  # (H, 128) f32
 
     # IPE backward: x = M*(damp*sin(pre)) + (1-M)*pre
     cos_pre = jnp.cos(pre_enc)
@@ -202,7 +229,7 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
                                preferred_element_type=f32)
            + jax.lax.dot_general(dvar, V, (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32))
-    dmc_ref[:] = dmc
+    return dmc, dg, contribs
 
 
 _bwd_kernel = functools.partial(_bwd_kernel_impl, False)
@@ -341,6 +368,8 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
         interpret=interpret,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_row * n,
             bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2 + 512 * 4),
@@ -423,12 +452,12 @@ def _fwd(params, mean_cov, g_bands, samples_per_ray, tile, want_normals):
 def _bwd(samples_per_ray, tile, want_normals, res, d_out):
     params, mean_cov, g_bands = res
     packed = pack_params_v3(params)
-    # the recompute-backward holds ~2x the forward's VMEM working set
-    # (activations + fp32 wgrad accumulators); it runs at tile<=512
-    bwd_tile = min(tile, 512)
+    # the halved kernel body keeps the per-half working set small
+    # enough that the recompute-backward fits (and runs ~10% faster)
+    # at tile=1024
     dmc, dg, dpacked = field_backward_v4(
         packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
-        samples_per_ray, bwd_tile)
+        samples_per_ray, tile)
     return _unpack_grads(params, dpacked), dmc, dg
 
 

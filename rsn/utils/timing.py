@@ -29,11 +29,26 @@ def _run(fn: Callable, args, k: int) -> float:
 
 
 def time_fn(fn: Callable, *args, k1: int = 2, k2: int = 12,
-            warmup: int = 2) -> float:
-    """Seconds per call of `fn(*args)`, tunnel-RTT-corrected."""
+            warmup: int = 2, repeats: int = 1) -> float:
+    """Seconds per call of `fn(*args)`, tunnel-RTT-corrected.
+
+    repeats > 1 takes the median of several differential measurements —
+    required for sub-2ms kernels where single-shot tunnel jitter (a few
+    ms per sync) swamps the k2-k1 work difference.
+    """
     for _ in range(warmup):
         out = fn(*args)
     float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-    t1 = _run(fn, args, k1)
-    t2 = _run(fn, args, k2)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    vals = []
+    for _ in range(repeats):
+        t1 = _run(fn, args, k1)
+        t2 = _run(fn, args, k2)
+        vals.append(max((t2 - t1) / (k2 - k1), 1e-9))
+    vals.sort()
+    return vals[len(vals) // 2]
+
+
+def time_kernel(fn: Callable, *args) -> float:
+    """time_fn tuned for ~0.5-5 ms kernels: 40-call difference,
+    median of 5."""
+    return time_fn(fn, *args, k1=5, k2=45, warmup=3, repeats=5)
