@@ -25,7 +25,7 @@ from rsn import metrics as metrics_lib
 
 
 def evaluate(params, dataset, config, mesh=None,
-             max_images=None) -> Dict[str, float]:
+             max_images=None, prop_params=None) -> Dict[str, float]:
     import jax.numpy as jnp
     from rsn.engine.trainer import render_image
 
@@ -33,7 +33,8 @@ def evaluate(params, dataset, config, mesh=None,
     n = dataset.cameras.num_cameras if max_images is None else min(
         max_images, dataset.cameras.num_cameras)
     for i in range(n):
-        out = render_image(params, dataset.cameras, i, config, mesh=mesh)
+        out = render_image(params, dataset.cameras, i, config, mesh=mesh,
+                           prop_params=prop_params)
         gt = dataset.images[i]
         fine = np.clip(out["mid_reflect_fine"], 0, 1)
         coarse = np.clip(out["mid_rgb_coarse"], 0, 1)
@@ -65,7 +66,8 @@ def main(argv=None) -> int:
                    help="override eval split (val/test)")
     ns = p.parse_args(argv)
 
-    params, config, _ = load_run(ns.load_dir)
+    from rsn.cli.run_io import load_run_full
+    params, config, _, extras = load_run_full(ns.load_dir)
     from rsn.data.blender import load_dataset
     dm = config.pipeline.datamanager
     split = ns.split or ("test" if dm.dataparser == "blender" else "test")
@@ -75,7 +77,8 @@ def main(argv=None) -> int:
     mesh = mesh_lib.make_mesh(config.num_devices)
     results = evaluate(params, dataset, config,
                        mesh=mesh if mesh.devices.size > 1 else None,
-                       max_images=ns.max_images)
+                       max_images=ns.max_images,
+                       prop_params=extras.get("proposal"))
     out_path = ns.output_path or os.path.join(ns.load_dir, "eval.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)

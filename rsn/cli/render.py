@@ -86,12 +86,12 @@ def main(argv=None) -> int:
     p.add_argument("--num-frames", type=int, default=60)
     ns = p.parse_args(argv)
 
-    from rsn.cli.run_io import load_run
+    from rsn.cli.run_io import load_run_full
     from rsn.data.blender import load_dataset
     from rsn.engine.trainer import render_image
     from rsn.parallel import mesh as mesh_lib
 
-    params, config, step = load_run(ns.load_dir)
+    params, config, step, extras = load_run_full(ns.load_dir)
     dm = config.pipeline.datamanager
     dataset = load_dataset(dm.dataparser, dm.data or "", ns.split,
                            dm.downscale_factor, dm.scale_factor)
@@ -107,7 +107,8 @@ def main(argv=None) -> int:
         n = cams.num_cameras if not ns.max_images else min(
             cams.num_cameras, ns.max_images)
         for i in range(n):
-            out = render_image(params, cams, i, config, mesh=mesh)
+            out = render_image(params, cams, i, config, mesh=mesh,
+                               prop_params=extras.get("proposal"))
             save_png(os.path.join(out_dir, f"frame_{i:05d}.png"),
                      np.clip(out["mid_reflect_fine"], 0, 1))
             print(f"rendered {i+1}/{n}", flush=True)
@@ -118,7 +119,8 @@ def main(argv=None) -> int:
     if ns.max_images:
         n = min(n, ns.max_images)
     for i in range(n):
-        out = render_image(params, dataset.cameras, i, config, mesh=mesh)
+        out = render_image(params, dataset.cameras, i, config, mesh=mesh,
+                           prop_params=extras.get("proposal"))
         panels = render_panels(out, dataset.images[i],
                                mcfg.collider_near_plane,
                                mcfg.collider_far_plane)

@@ -62,6 +62,7 @@ window.addEventListener("keydown", e => {
 
 class _State:
     params = None
+    proposal = None
     config = None
     cameras = None
     radius = 4.0
@@ -88,7 +89,8 @@ def _render_pose(theta: float, phi: float, r: float, mode: str) -> bytes:
         fx=ref.fx[:1], fy=ref.fy[:1], cx=ref.cx[:1], cy=ref.cy[:1],
         width=ref.width, height=ref.height)
     with _State.lock:  # one render at a time (single chip)
-        out = render_image(_State.params, cams, 0, _State.config)
+        out = render_image(_State.params, cams, 0, _State.config,
+                           prop_params=_State.proposal)
     mcfg = _State.config.pipeline.model
     if mode == "depth":
         img = apply_depth_colormap(out["depth_fine"],
@@ -138,10 +140,10 @@ def main(argv=None) -> int:
                    help="render resolution divisor for interactivity")
     ns = p.parse_args(argv)
 
-    from rsn.cli.run_io import load_run
+    from rsn.cli.run_io import load_run_full
     from rsn.data.blender import load_dataset
 
-    params, config, step = load_run(ns.load_dir)
+    params, config, step, extras = load_run_full(ns.load_dir)
     dm = config.pipeline.datamanager
     ds = load_dataset(dm.dataparser, dm.data or "", "train",
                       dm.downscale_factor, dm.scale_factor)
@@ -154,6 +156,7 @@ def main(argv=None) -> int:
                        cx=cams.cx / k, cy=cams.cy / k,
                        width=cams.width // k, height=cams.height // k)
     _State.params = params
+    _State.proposal = extras.get("proposal")
     _State.config = config
     _State.cameras = cams
     _State.radius = float(np.linalg.norm(

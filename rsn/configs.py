@@ -78,6 +78,14 @@ class ModelConfig:
     # (fixed-shape compaction; exact reference semantics while
     # #masked <= K, see PARITY.md).  1.0 = process all rays.
     reflect_ray_fraction: float = 1.0
+    # Optional proposal-network sampling (rsn/models/proposal.py): the
+    # coarse pass runs a small density-only field trained against the
+    # mip-NeRF-360 interlevel loss, binding the reference's otherwise
+    # empty "proposal_networks" optimizer group.  A deliberate
+    # acceleration deviation; off by default (reference behavior).
+    use_proposal: bool = False
+    num_proposal_samples: int = 64
+    interlevel_loss_mult: float = 1.0
     background_color: str = "white"    # model.py:117
     compute_dtype: str = "float32"     # "bfloat16" for the trunk matmuls
     # Fused Pallas kernels (rsn/kernels).  Both are automatically gated

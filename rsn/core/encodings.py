@@ -38,24 +38,28 @@ ISH_OUT_DIM = 34
 _BAND_SLICES = ((0, 3, 1.0), (3, 8, 3.0), (8, 17, 10.0), (17, 34, 36.0))
 
 
-def _freqs(dtype=jnp.float32) -> jax.Array:
-    return 2.0 ** jnp.linspace(MIN_FREQ_EXP, MAX_FREQ_EXP, NUM_FREQUENCIES,
-                               dtype=dtype)
+def _freqs(dtype=jnp.float32, num: int = NUM_FREQUENCIES,
+           max_exp: float = MAX_FREQ_EXP) -> jax.Array:
+    return 2.0 ** jnp.linspace(MIN_FREQ_EXP, max_exp, num, dtype=dtype)
 
 
 def ipe_encode(mean: jax.Array, cov_diag: jax.Array | None = None,
-               cov: jax.Array | None = None) -> jax.Array:
+               cov: jax.Array | None = None,
+               num_freqs: int = NUM_FREQUENCIES,
+               max_freq_exp: float = MAX_FREQ_EXP) -> jax.Array:
     """Integrated positional encoding of a Gaussian.
 
     Args:
       mean: (..., 3)
       cov_diag: (..., 3) diagonal of covariance (preferred), or
       cov: (..., 3, 3) full covariance (diagonal is extracted).
+      num_freqs/max_freq_exp: octave count/range (default = the main
+      field's 16; the proposal field uses a smaller encoding).
     Returns:
-      (..., 99): [sin terms (48), cos terms (48), mean (3)], ordered
+      (..., 3*2*num_freqs + 3): [sin terms, cos terms, mean], ordered
       dim-major over frequencies like nerfstudio.
     """
-    freqs = _freqs(mean.dtype)
+    freqs = _freqs(mean.dtype, num_freqs, max_freq_exp)
     scaled = (2.0 * jnp.pi * mean)[..., None] * freqs  # (..., 3, F)
     scaled = scaled.reshape(*scaled.shape[:-2], -1)  # (..., 3F)
     both = jnp.concatenate([scaled, scaled + jnp.pi / 2.0], axis=-1)

@@ -47,6 +47,9 @@ class TrainState:
     # camera pose refinement (None when camera_optimizer == "off")
     camera: Any = None
     camera_opt_state: Any = None
+    # proposal field (None unless model.use_proposal)
+    proposal: Any = None
+    proposal_opt_state: Any = None
 
 
 def loss_coefficients_traced(step: jax.Array) -> Dict[str, jax.Array]:
@@ -87,6 +90,8 @@ def make_train_step(config: TrainerConfig):
     cam_mode = config.pipeline.datamanager.camera_optimizer
     cam_optimizer = (build_optimizer(config.optimizers["camera_opt"])
                      if cam_mode != "off" else None)
+    prop_optimizer = (build_optimizer(config.optimizers["proposal_networks"])
+                      if mcfg.use_proposal else None)
 
     def train_step(state: TrainState, images, cameras, key,
                    axis_name: Optional[str] = None):
@@ -95,43 +100,50 @@ def make_train_step(config: TrainerConfig):
         bundle, gt = sample_pixel_batch(images, cameras, num_rays, k_pix)
         bundle = model_lib.apply_collider(bundle, mcfg)
         coeffs = loss_coefficients_traced(state.step)
+        if mcfg.use_proposal:
+            coeffs = dict(coeffs,
+                          interlevel_loss=jnp.float32(
+                              mcfg.interlevel_loss_mult))
 
-        def loss_fn(params, cam):
+        def loss_fn(params, cam, prop):
             b = camera_opt_lib.apply_to_bundle(bundle, cam, cam_mode)
             outputs = model_lib.get_outputs(params, b, k_render, mcfg,
-                                            training=True)
+                                            training=True,
+                                            prop_params=prop)
             loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
             total = sum(jax.tree.leaves(loss_dict))
             aux = {"mask_fraction": jnp.mean(
                 outputs["mask"].astype(jnp.float32))}
             return total, (loss_dict, aux)
 
-        argnums = (0, 1) if cam_mode != "off" else 0
-        (total, (loss_dict, aux)), grads_all = jax.value_and_grad(
-            loss_fn, argnums=argnums, has_aux=True)(
-                state.params, state.camera)
-        if cam_mode != "off":
-            grads, cam_grads = grads_all
-        else:
-            grads, cam_grads = grads_all, None
+        # disabled groups are None (empty pytrees): their grads come
+        # back empty and no update runs — one code path for all combos
+        (total, (loss_dict, aux)), (grads, cam_grads, prop_grads) = \
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, state.camera, state.proposal)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            total = jax.lax.pmean(total, axis_name)
-            loss_dict = jax.lax.pmean(loss_dict, axis_name)
-            aux = jax.lax.pmean(aux, axis_name)
-            if cam_grads is not None:
-                cam_grads = jax.lax.pmean(cam_grads, axis_name)
+            (grads, cam_grads, prop_grads, total, loss_dict, aux) = \
+                jax.lax.pmean((grads, cam_grads, prop_grads, total,
+                               loss_dict, aux), axis_name)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         camera, camera_opt_state = state.camera, state.camera_opt_state
-        if cam_grads is not None:
+        if cam_optimizer is not None and camera is not None:
             cam_updates, camera_opt_state = cam_optimizer.update(
                 cam_grads, camera_opt_state, camera)
             camera = optax.apply_updates(camera, cam_updates)
+        proposal, proposal_opt_state = (state.proposal,
+                                        state.proposal_opt_state)
+        if prop_optimizer is not None and proposal is not None:
+            prop_updates, proposal_opt_state = prop_optimizer.update(
+                prop_grads, proposal_opt_state, proposal)
+            proposal = optax.apply_updates(proposal, prop_updates)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1, camera=camera,
-                               camera_opt_state=camera_opt_state)
+                               camera_opt_state=camera_opt_state,
+                               proposal=proposal,
+                               proposal_opt_state=proposal_opt_state)
         metrics = dict(loss_dict, total_loss=total, **aux)
         return new_state, metrics
 
@@ -149,8 +161,13 @@ def make_eval_batch_step(config: TrainerConfig):
         bundle, gt = sample_pixel_batch(images, cameras, num_rays, k_pix)
         bundle = model_lib.apply_collider(bundle, mcfg)
         outputs = model_lib.get_outputs(state.params, bundle, k_render,
-                                        mcfg, training=False)
+                                        mcfg, training=False,
+                                        prop_params=state.proposal)
         coeffs = loss_coefficients_traced(state.step)
+        if mcfg.use_proposal:
+            coeffs = dict(coeffs,
+                          interlevel_loss=jnp.float32(
+                              mcfg.interlevel_loss_mult))
         loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
         total = sum(jax.tree.leaves(loss_dict))
         psnr = -10.0 * jnp.log10(jnp.maximum(jnp.mean(
@@ -162,7 +179,7 @@ def make_eval_batch_step(config: TrainerConfig):
 
 def render_image(params, cameras: Cameras, camera_index: int,
                  config: TrainerConfig, key: Optional[jax.Array] = None,
-                 mesh=None) -> Dict[str, np.ndarray]:
+                 mesh=None, prop_params=None) -> Dict[str, np.ndarray]:
     """Chunked full-image render (inherited get_outputs_for_camera_ray_
     bundle semantics, SURVEY.md §3.3), optionally sharded over a mesh."""
     from rsn.data.cameras import generate_image_rays
@@ -178,19 +195,22 @@ def render_image(params, cameras: Cameras, camera_index: int,
         key = jax.random.PRNGKey(0)
 
     def render_chunk(params, batch, key):
+        params, prop = params  # (fields, proposal-or-None)
         o, d, pa = batch
         n = o.shape[0]
         zeros = jnp.zeros((n, 1))
         rb = RayBundle(origins=o, directions=d, pixel_area=pa,
                        nears=zeros, fars=zeros)
         rb = model_lib.apply_collider(rb, mcfg)
-        out = model_lib.get_outputs(params, rb, key, mcfg, training=False)
+        out = model_lib.get_outputs(params, rb, key, mcfg, training=False,
+                                    prop_params=prop)
         keep = ("mid_rgb_coarse", "mid_rgb_fine", "mid_reflect_coarse",
                 "mid_reflect_fine", "accumulation_coarse",
                 "accumulation_fine", "depth_coarse", "depth_fine",
                 "roughness")
         return {k: out[k] for k in keep}
 
+    params = (params, prop_params)
     if mesh is not None:
         fn = mesh_lib.shard_render(render_chunk, mesh)
         params = jax.device_put(params, mesh_lib.replicated(mesh))
@@ -272,9 +292,18 @@ class Trainer:
         if camera is not None:
             camera_opt_state = build_optimizer(
                 config.optimizers["camera_opt"]).init(camera)
+        proposal = proposal_opt_state = None
+        if config.pipeline.model.use_proposal:
+            from rsn.models import proposal as proposal_lib
+            proposal = proposal_lib.init_proposal_params(
+                jax.random.PRNGKey(config.seed + 2))
+            proposal_opt_state = build_optimizer(
+                config.optimizers["proposal_networks"]).init(proposal)
         self.state = TrainState(params=params, opt_state=opt_state,
                                 step=jnp.int32(0), camera=camera,
-                                camera_opt_state=camera_opt_state)
+                                camera_opt_state=camera_opt_state,
+                                proposal=proposal,
+                                proposal_opt_state=proposal_opt_state)
         self.images = jnp.asarray(self.train_ds.images)
         self.cameras = self.train_ds.cameras
         self.eval_images = jnp.asarray(self.eval_ds.images)
@@ -315,15 +344,18 @@ class Trainer:
         abstract = {"params": self.state.params,
                     "opt_state": self.state.opt_state,
                     "step": int(self.state.step)}
-        if self.state.camera is not None:
-            abstract["camera"] = self.state.camera
-            abstract["camera_opt_state"] = self.state.camera_opt_state
+        for name in ("camera", "camera_opt_state", "proposal",
+                     "proposal_opt_state"):
+            if getattr(self.state, name) is not None:
+                abstract[name] = getattr(self.state, name)
         restored = ckpt_lib.load_checkpoint(path, abstract)
         self.state = TrainState(
             params=restored["params"], opt_state=restored["opt_state"],
             step=jnp.int32(restored["step"]),
             camera=restored.get("camera"),
-            camera_opt_state=restored.get("camera_opt_state"))
+            camera_opt_state=restored.get("camera_opt_state"),
+            proposal=restored.get("proposal"),
+            proposal_opt_state=restored.get("proposal_opt_state"))
 
     def _log(self, step: int, metrics: Dict[str, float]) -> None:
         self._log_file.write(json.dumps({"step": step, **metrics}) + "\n")
@@ -343,7 +375,8 @@ class Trainer:
         self._eval_image_cursor += 1
         out = render_image(self.state.params, self.eval_ds.cameras, idx,
                            self.config,
-                           mesh=self.mesh if self.num_devices > 1 else None)
+                           mesh=self.mesh if self.num_devices > 1 else None,
+                           prop_params=self.state.proposal)
         gt = self.eval_ds.images[idx]
         fine = np.clip(out["mid_reflect_fine"], 0, 1)
         coarse = np.clip(out["mid_rgb_coarse"], 0, 1)
@@ -414,11 +447,13 @@ class Trainer:
                 print(f"step {step+1}: eval image psnr={m['psnr']:.2f}",
                       flush=True)
             if (step + 1) % cfg.steps_per_save == 0 or step + 1 == max_steps:
-                extra = None
-                if self.state.camera is not None:
-                    extra = {"camera": self.state.camera,
-                             "camera_opt_state": self.state.camera_opt_state}
+                extra = {
+                    name: getattr(self.state, name)
+                    for name in ("camera", "camera_opt_state", "proposal",
+                                 "proposal_opt_state")
+                    if getattr(self.state, name) is not None}
                 ckpt_lib.save_checkpoint(self.ckpt_dir, step + 1,
                                          self.state.params,
-                                         self.state.opt_state, extra)
+                                         self.state.opt_state,
+                                         extra or None)
         return last_metrics

@@ -171,27 +171,55 @@ def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
 
 
 def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
-                cfg: ModelConfig, training: bool) -> Dict[str, jax.Array]:
-    """The 4-pass render. ray_bundle must already be collided."""
+                cfg: ModelConfig, training: bool,
+                prop_params=None) -> Dict[str, jax.Array]:
+    """The 4-pass render. ray_bundle must already be collided.
+
+    With cfg.use_proposal and prop_params given, the coarse pass runs
+    the small proposal field instead of the main field (density only,
+    ~50x cheaper per sample; rsn/models/proposal.py) — a deliberate
+    optional deviation from the reference's mip-NeRF coarse/fine
+    scheme.  The fine and reflected passes are unchanged.
+    """
     fcfg = _field_cfg(cfg)
     k_uni, k_pdf, k_tint, k_recip, k_refl_pdf = jax.random.split(key, 5)
     strat = lambda k: k if training else None
     uniform = identity_spacing()
     white = jnp.asarray(WHITE)
+    use_prop = cfg.use_proposal and prop_params is not None
 
     # ---- pass 1: coarse (model.py:148-177) ----
-    rs_uniform = spaced_sample(ray_bundle, uniform, cfg.num_coarse_samples,
-                               key=strat(k_uni))
-    c = _primary_pass(params, rs_uniform, fcfg, training)
-    accumulation_coarse = render_accumulation(c["weights"])
-    depth_coarse = render_depth_median(c["weights"], rs_uniform.starts,
-                                       rs_uniform.ends)
-    mid_rgb_coarse = jnp.clip(
-        render_rgb(c["mid"], c["weights"], white, training=training),
-        0.0, 1.0)
+    if use_prop:
+        from rsn.models import proposal as proposal_lib
+
+        rs_uniform = spaced_sample(ray_bundle, uniform,
+                                   cfg.num_proposal_samples,
+                                   key=strat(k_uni))
+        w_prop = rs_uniform.get_weights(
+            proposal_lib.proposal_density(prop_params, rs_uniform))
+        c = None
+        coarse_weights = sg(w_prop)
+        accumulation_coarse = render_accumulation(coarse_weights)
+        depth_coarse = render_depth_median(coarse_weights,
+                                           rs_uniform.starts,
+                                           rs_uniform.ends)
+        # no coarse rgb in proposal mode: background fill only
+        mid_rgb_coarse = white * (1.0 - accumulation_coarse)
+    else:
+        rs_uniform = spaced_sample(ray_bundle, uniform,
+                                   cfg.num_coarse_samples,
+                                   key=strat(k_uni))
+        c = _primary_pass(params, rs_uniform, fcfg, training)
+        coarse_weights = c["weights"]
+        accumulation_coarse = render_accumulation(c["weights"])
+        depth_coarse = render_depth_median(c["weights"], rs_uniform.starts,
+                                           rs_uniform.ends)
+        mid_rgb_coarse = jnp.clip(
+            render_rgb(c["mid"], c["weights"], white, training=training),
+            0.0, 1.0)
 
     # ---- pass 2: fine (model.py:182-227) ----
-    rs_pdf = pdf_sample(ray_bundle, rs_uniform, c["weights"], uniform,
+    rs_pdf = pdf_sample(ray_bundle, rs_uniform, coarse_weights, uniform,
                         cfg.num_importance_samples, key=strat(k_pdf))
     f = _primary_pass(params, rs_pdf, fcfg, training)
     accumulation_fine = render_accumulation(f["weights"])
@@ -290,7 +318,7 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         depth_reflect_fine = jnp.zeros((R, 1), depth_sub.dtype).at[sel].set(
             depth_sub)
 
-    return {
+    outputs = {
         "mid_rgb_coarse": mid_rgb_coarse,
         "mid_rgb_fine": mid_rgb_fine,
         "mid_reflect_coarse": mid_reflect_coarse,
@@ -299,13 +327,10 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         "accumulation_fine": sg(accumulation_fine),
         "depth_coarse": sg(depth_coarse),
         "depth_fine": sg(depth_fine),
-        "weights_coarse": sg(c["weights"]),
+        "weights_coarse": sg(coarse_weights),
         "weights_fine": sg(f["weights"]),
-        "pred_normals_coarse": c["pred_normals"],
         "pred_normals_fine": f["pred_normals"],
-        "normals_coarse": sg(c["normals"]),
         "normals_fine": sg(f["normals"]),
-        "n_dot_d_coarse": c["n_dot_d"],
         "n_dot_d_fine": f["n_dot_d"],
         "diff": diff_fine,
         "tint": tint_fine,
@@ -314,6 +339,23 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         # always emitted at fixed shape; valid only where mask (SURVEY B#10)
         "depth_reflect_fine": depth_reflect_fine,
     }
+    if use_prop:
+        # interlevel-loss inputs: LIVE proposal weights + the two
+        # spacing-domain histograms (rsn/models/proposal.py)
+        outputs["prop_weights"] = w_prop
+        outputs["prop_spacing_bins"] = jnp.concatenate(
+            [rs_uniform.spacing_starts[..., 0],
+             rs_uniform.spacing_ends[..., -1:, 0]], axis=-1)
+        outputs["fine_spacing_bins"] = jnp.concatenate(
+            [rs_pdf.spacing_starts[..., 0],
+             rs_pdf.spacing_ends[..., -1:, 0]], axis=-1)
+    else:
+        outputs.update({
+            "pred_normals_coarse": c["pred_normals"],
+            "normals_coarse": sg(c["normals"]),
+            "n_dot_d_coarse": c["n_dot_d"],
+        })
+    return outputs
 
 
 def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
@@ -329,25 +371,37 @@ def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
     pred_mid_coarse, gt_rgb = blend_background_for_loss_computation(
         outputs["mid_rgb_coarse"], outputs["accumulation_coarse"], gt_image)
     losses = {
-        "loss_mid_coarse": mse(gt_rgb, pred_mid_coarse),
         "loss_mid_fine": mse(gt_rgb, outputs["mid_rgb_fine"]),
         "loss_reflect_mid_coarse": mse(gt_rgb, outputs["mid_reflect_coarse"]),
         "loss_reflect_mid_fine": mse(gt_rgb, outputs["mid_reflect_fine"]),
         # sums, not means (model.py:403-407); weights/normals detached,
         # pred_normals & n_dot_d live
-        "predicted_normal_loss_coarse": jnp.sum(
-            outputs["weights_coarse"] * jnp.sum(
-                (outputs["normals_coarse"] - outputs["pred_normals_coarse"])
-                ** 2, axis=-1, keepdims=True)),
         "predicted_normal_loss_fine": jnp.sum(
             outputs["weights_fine"] * jnp.sum(
                 (outputs["normals_fine"] - outputs["pred_normals_fine"]) ** 2,
                 axis=-1, keepdims=True)),
-        "orientation_loss_coarse": jnp.sum(
-            outputs["weights_coarse"]
-            * jax.nn.relu(outputs["n_dot_d_coarse"]) ** 2),
         "orientation_loss_fine": jnp.sum(
             outputs["weights_fine"]
             * jax.nn.relu(outputs["n_dot_d_fine"]) ** 2),
     }
-    return {k: v * coefficients[k] for k, v in losses.items()}
+    if "prop_weights" in outputs:
+        # proposal mode: the coarse pass has no rgb/normal heads; the
+        # proposal field trains on the interlevel loss instead
+        from rsn.models import proposal as proposal_lib
+
+        losses["interlevel_loss"] = proposal_lib.interlevel_loss(
+            outputs["weights_fine"], outputs["fine_spacing_bins"],
+            outputs["prop_weights"], outputs["prop_spacing_bins"])
+    else:
+        losses.update({
+            "loss_mid_coarse": mse(gt_rgb, pred_mid_coarse),
+            "predicted_normal_loss_coarse": jnp.sum(
+                outputs["weights_coarse"] * jnp.sum(
+                    (outputs["normals_coarse"]
+                     - outputs["pred_normals_coarse"]) ** 2,
+                    axis=-1, keepdims=True)),
+            "orientation_loss_coarse": jnp.sum(
+                outputs["weights_coarse"]
+                * jax.nn.relu(outputs["n_dot_d_coarse"]) ** 2),
+        })
+    return {k: v * coefficients.get(k, 1.0) for k, v in losses.items()}
