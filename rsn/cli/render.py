@@ -73,6 +73,34 @@ def orbit_cameras(reference_cameras, num_frames: int = 60,
         width=reference_cameras.width, height=reference_cameras.height)
 
 
+def path_cameras(path_file: str, reference_cameras):
+    """Cameras from a camera-path JSON (written by the viewer's `e`
+    export, or hand-authored): {"frames": [{"camera_to_world": 3x4 or
+    4x4}, ...]} with optional top-level fx/fy/cx/cy/width/height
+    (defaults: the dataset's first camera)."""
+    import json
+
+    import jax.numpy as jnp
+    from rsn.data.cameras import Cameras
+
+    with open(path_file) as f:
+        doc = json.load(f)
+    c2w = np.asarray([f["camera_to_world"] for f in doc["frames"]],
+                     np.float32)[:, :3, :4]
+    n = c2w.shape[0]
+    ref = reference_cameras
+
+    def intr(name, default):
+        return jnp.full((n,), float(doc.get(name, default)))
+
+    return Cameras(
+        camera_to_worlds=jnp.asarray(c2w),
+        fx=intr("fx", ref.fx[0]), fy=intr("fy", ref.fy[0]),
+        cx=intr("cx", ref.cx[0]), cy=intr("cy", ref.cy[0]),
+        width=int(doc.get("width", ref.width)),
+        height=int(doc.get("height", ref.height)))
+
+
 def main(argv=None) -> int:
     import argparse
     p = argparse.ArgumentParser(description="render a trained run")
@@ -80,10 +108,15 @@ def main(argv=None) -> int:
     p.add_argument("--output-dir", default=None)
     p.add_argument("--split", default="test")
     p.add_argument("--max-images", type=int, default=None)
-    p.add_argument("--mode", default="split", choices=("split", "orbit"),
+    p.add_argument("--mode", default="split",
+                   choices=("split", "orbit", "path"),
                    help="split: eval cameras with gt panels; orbit: "
-                        "camera-path rgb frames")
+                        "generated orbit rgb frames; path: rgb frames "
+                        "along --camera-path")
     p.add_argument("--num-frames", type=int, default=60)
+    p.add_argument("--camera-path", default=None,
+                   help="camera-path JSON for --mode path (export one "
+                        "from the viewer with the `e` key)")
     ns = p.parse_args(argv)
 
     from rsn.cli.run_io import load_run_full
@@ -96,14 +129,20 @@ def main(argv=None) -> int:
     dataset = load_dataset(dm.dataparser, dm.data or "", ns.split,
                            dm.downscale_factor, dm.scale_factor)
     out_dir = ns.output_dir or os.path.join(
-        ns.load_dir, f"renders_{ns.mode if ns.mode == 'orbit' else ns.split}")
+        ns.load_dir,
+        f"renders_{ns.split if ns.mode == 'split' else ns.mode}")
     os.makedirs(out_dir, exist_ok=True)
     mesh = mesh_lib.make_mesh(config.num_devices)
     mesh = mesh if mesh.devices.size > 1 else None
     mcfg = config.pipeline.model
 
-    if ns.mode == "orbit":
-        cams = orbit_cameras(dataset.cameras, ns.num_frames)
+    if ns.mode in ("orbit", "path"):
+        if ns.mode == "path":
+            if not ns.camera_path:
+                p.error("--mode path requires --camera-path")
+            cams = path_cameras(ns.camera_path, dataset.cameras)
+        else:
+            cams = orbit_cameras(dataset.cameras, ns.num_frames)
         n = cams.num_cameras if not ns.max_images else min(
             cams.num_cameras, ns.max_images)
         for i in range(n):

@@ -7,14 +7,27 @@ replaces the reference's inherited websocket viewer
 with a dependency-free stdlib server — the render itself runs the same
 chunked `render_image` path as eval.
 
+Streaming quality levels: interactive moves render at 1/4 resolution;
+once the camera settles the same pose re-renders at 1/2 then full
+resolution (progressive refinement, like the nerfstudio viewer's
+"target FPS" behavior but deterministic).
+
+Camera paths: press `p` to record the current pose, `e` to export the
+recorded path — the server writes `camera_paths/path-<n>.json` under
+the run dir, renderable with
+  python -m rsn.cli.render --load-dir ... --mode path --camera-path <file>
+
 Usage:
   python -m rsn.cli.viewer --load-dir outputs/.../<timestamp> [--port 7007]
 """
 from __future__ import annotations
 
 import io
+import json
+import os
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -23,67 +36,106 @@ import numpy as np
 _PAGE = """<!DOCTYPE html>
 <html><head><title>rsn viewer</title><style>
 body { margin:0; background:#111; color:#ddd; font:13px monospace; }
-#hud { position:fixed; top:8px; left:8px; }
+#hud { position:fixed; top:8px; left:8px; white-space:pre; }
 img { display:block; margin:0 auto; image-rendering:pixelated;
       width:min(90vw, 90vh); }
 </style></head><body>
-<div id="hud">drag: orbit &middot; wheel: zoom &middot; key d: depth</div>
-<img id="view" src="/render?theta=0&phi=0.3&r=1.0">
+<div id="hud">drag: orbit | wheel: zoom | d: depth | p: add pose | e: export path</div>
+<img id="view" src="/render?theta=0&phi=0.3&r=1.0&q=0">
 <script>
 let theta = 0, phi = 0.3, r = 1.0, drag = false, lx = 0, ly = 0;
-let mode = "rgb", inflight = false, dirty = false;
+let mode = "rgb", inflight = false, dirty = false, q = 0;
+let path = [];
 const img = document.getElementById("view");
+const hud = document.getElementById("hud");
 function refresh() {
   if (inflight) { dirty = true; return; }
   inflight = true;
-  const src = `/render?theta=${theta}&phi=${phi}&r=${r}&mode=${mode}`;
+  const src = `/render?theta=${theta}&phi=${phi}&r=${r}&mode=${mode}&q=${q}`;
   const probe = new Image();
-  probe.onload = () => { img.src = probe.src; inflight = false;
-                         if (dirty) { dirty = false; refresh(); } };
+  probe.onload = () => {
+    img.src = probe.src; inflight = false;
+    if (dirty) { dirty = false; q = 0; refresh(); }
+    else if (q < 2) { q++; refresh(); }   // progressive refinement
+  };
   probe.src = src;
 }
+function interact() { q = 0; refresh(); }
 window.addEventListener("mousedown", e => { drag = true; lx = e.x; ly = e.y; });
 window.addEventListener("mouseup", () => drag = false);
 window.addEventListener("mousemove", e => {
   if (!drag) return;
   theta += (e.x - lx) * 0.01; phi += (e.y - ly) * 0.01;
   phi = Math.max(-1.4, Math.min(1.4, phi));
-  lx = e.x; ly = e.y; refresh();
+  lx = e.x; ly = e.y; interact();
 });
 window.addEventListener("wheel", e => {
   r *= Math.exp(e.deltaY * 0.001); r = Math.max(0.3, Math.min(3, r));
-  refresh();
+  interact();
 });
 window.addEventListener("keydown", e => {
-  if (e.key === "d") { mode = mode === "rgb" ? "depth" : "rgb"; refresh(); }
+  if (e.key === "d") { mode = mode === "rgb" ? "depth" : "rgb"; interact(); }
+  if (e.key === "p") {
+    path.push({theta: theta, phi: phi, r: r});
+    hud.textContent = `path: ${path.length} pose(s) | e: export`;
+  }
+  if (e.key === "e" && path.length) {
+    fetch("/export_path", {method: "POST", body: JSON.stringify(path)})
+      .then(rsp => rsp.json())
+      .then(d => { hud.textContent = `wrote ${d.path}`; path = []; });
+  }
 });
 </script></body></html>"""
+
+# progressive quality: resolution divisor per level (relative to the
+# --downscale base resolution)
+_QUALITY_DIVISORS = (4, 2, 1)
 
 
 class _State:
     params = None
     proposal = None
     config = None
-    cameras = None
+    cameras = None  # full-quality viewer cameras
     radius = 4.0
+    run_dir = "."
+    path_count = 0
     lock = threading.Lock()
 
 
-def _render_pose(theta: float, phi: float, r: float, mode: str) -> bytes:
-    import jax.numpy as jnp
-    from PIL import Image
-
+def _scaled_cameras(cams, divisor: int):
+    if divisor <= 1:
+        return cams
     from rsn.data.cameras import Cameras
+    return Cameras(camera_to_worlds=cams.camera_to_worlds,
+                   fx=cams.fx / divisor, fy=cams.fy / divisor,
+                   cx=cams.cx / divisor, cy=cams.cy / divisor,
+                   width=cams.width // divisor,
+                   height=cams.height // divisor)
+
+
+def _pose_matrix(theta: float, phi: float, r: float) -> np.ndarray:
     from rsn.data.synthetic import _look_at_pose
-    from rsn.engine.trainer import render_image
-    from rsn.cli.render import apply_depth_colormap
 
     eye = np.array([np.cos(theta) * np.cos(phi),
                     np.sin(theta) * np.cos(phi),
                     np.sin(phi)], np.float32)
     eye *= _State.radius * r
-    pose = _look_at_pose(eye)
-    ref = _State.cameras
+    return _look_at_pose(eye)
+
+
+def _render_pose(theta: float, phi: float, r: float, mode: str,
+                 q: int) -> bytes:
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from rsn.data.cameras import Cameras
+    from rsn.engine.trainer import render_image
+    from rsn.cli.render import apply_depth_colormap
+
+    pose = _pose_matrix(theta, phi, r)
+    divisor = _QUALITY_DIVISORS[max(0, min(q, len(_QUALITY_DIVISORS) - 1))]
+    ref = _scaled_cameras(_State.cameras, divisor)
     cams = Cameras(
         camera_to_worlds=jnp.asarray(pose[None, :3, :4]),
         fx=ref.fx[:1], fy=ref.fy[:1], cx=ref.cx[:1], cy=ref.cy[:1],
@@ -104,31 +156,67 @@ def _render_pose(theta: float, phi: float, r: float, mode: str) -> bytes:
     return buf.getvalue()
 
 
+def export_camera_path(poses, run_dir: str, cameras) -> str:
+    """Write a camera-path JSON (renderable by rsn.cli.render --mode
+    path) from a list of {theta, phi, r} viewer poses."""
+    frames = [{"camera_to_world": _pose_matrix(
+        float(p["theta"]), float(p["phi"]), float(p["r"])).tolist()}
+        for p in poses]
+    path_dir = os.path.join(run_dir, "camera_paths")
+    os.makedirs(path_dir, exist_ok=True)
+    _State.path_count += 1
+    fname = os.path.join(
+        path_dir, f"path-{int(time.time())}-{_State.path_count}.json")
+    doc = {
+        "camera_type": "perspective",
+        "fx": float(cameras.fx[0]), "fy": float(cameras.fy[0]),
+        "cx": float(cameras.cx[0]), "cy": float(cameras.cy[0]),
+        "width": int(cameras.width), "height": int(cameras.height),
+        "frames": frames,
+    }
+    with open(fname, "w") as f:
+        json.dump(doc, f, indent=1)
+    return fname
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):
         pass
 
+    def _reply(self, body: bytes, ctype: str, code: int = 200):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):
         url = urlparse(self.path)
         if url.path == "/":
-            body = _PAGE.encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "text/html")
+            self._reply(_PAGE.encode(), "text/html")
         elif url.path == "/render":
             q = parse_qs(url.query)
             body = _render_pose(
                 float(q.get("theta", ["0"])[0]),
                 float(q.get("phi", ["0.3"])[0]),
                 float(q.get("r", ["1"])[0]),
-                q.get("mode", ["rgb"])[0])
-            self.send_response(200)
-            self.send_header("Content-Type", "image/png")
+                q.get("mode", ["rgb"])[0],
+                int(q.get("q", ["0"])[0]))
+            self._reply(body, "image/png")
         else:
-            self.send_response(404)
-            body = b"not found"
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+            self._reply(b"not found", "text/plain", 404)
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        if url.path != "/export_path":
+            self._reply(b"not found", "text/plain", 404)
+            return
+        n = int(self.headers.get("Content-Length", "0"))
+        poses = json.loads(self.rfile.read(n) or b"[]")
+        fname = export_camera_path(poses, _State.run_dir, _State.cameras)
+        self._reply(json.dumps(
+            {"path": fname, "num_frames": len(poses)}).encode(),
+            "application/json")
 
 
 def main(argv=None) -> int:
@@ -136,8 +224,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="interactive viewer")
     p.add_argument("--load-dir", required=True)
     p.add_argument("--port", type=int, default=7007)
-    p.add_argument("--downscale", type=int, default=4,
-                   help="render resolution divisor for interactivity")
+    p.add_argument("--downscale", type=int, default=2,
+                   help="full-quality resolution divisor (interactive "
+                        "levels render at a further /4 and /2)")
     ns = p.parse_args(argv)
 
     from rsn.cli.run_io import load_run_full
@@ -147,18 +236,12 @@ def main(argv=None) -> int:
     dm = config.pipeline.datamanager
     ds = load_dataset(dm.dataparser, dm.data or "", "train",
                       dm.downscale_factor, dm.scale_factor)
-    cams = ds.cameras
-    if ns.downscale > 1:
-        from rsn.data.cameras import Cameras
-        k = ns.downscale
-        cams = Cameras(camera_to_worlds=cams.camera_to_worlds,
-                       fx=cams.fx / k, fy=cams.fy / k,
-                       cx=cams.cx / k, cy=cams.cy / k,
-                       width=cams.width // k, height=cams.height // k)
+    cams = _scaled_cameras(ds.cameras, ns.downscale)
     _State.params = params
     _State.proposal = extras.get("proposal")
     _State.config = config
     _State.cameras = cams
+    _State.run_dir = ns.load_dir
     _State.radius = float(np.linalg.norm(
         np.asarray(ds.cameras.camera_to_worlds)[:, :3, 3], axis=-1).mean())
 
