@@ -158,3 +158,61 @@ def test_mesh_barrier():
     from rsn.parallel import mesh as mesh_lib
     mesh = mesh_lib.make_mesh(0)
     mesh_lib.barrier(mesh)  # must not deadlock
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_sharded_step_with_all_param_groups():
+    """All three optimizer groups (fields + camera + proposal) train
+    under shard_map: grads pmean'd, every group's replicas in sync."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+    from rsn.data.synthetic import make_synthetic_dataset
+    from rsn.engine.optimizers import build_optimizer
+    from rsn.models import camera_opt as camera_opt_lib
+    from rsn.models import proposal as proposal_lib
+    from rsn.parallel import mesh as mesh_lib
+
+    cfg = tiny_config()
+    dm = dataclasses.replace(cfg.pipeline.datamanager,
+                             camera_optimizer="SO3xR3")
+    mcfg = dataclasses.replace(cfg.pipeline.model, use_proposal=True,
+                               num_proposal_samples=8)
+    cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
+        cfg.pipeline, datamanager=dm, model=mcfg))
+    train_step, optimizer = make_train_step(cfg)
+    ds = make_synthetic_dataset(num_cameras=2, H=16, W=16)
+    images = jnp.asarray(ds.images)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    camera = camera_opt_lib.init_camera_opt_params(2, "SO3xR3")
+    prop = proposal_lib.init_proposal_params(jax.random.PRNGKey(2))
+    state = TrainState(
+        params=params, opt_state=optimizer.init(params),
+        step=jnp.int32(0),
+        camera=camera,
+        camera_opt_state=build_optimizer(
+            cfg.optimizers["camera_opt"]).init(camera),
+        proposal=prop,
+        proposal_opt_state=build_optimizer(
+            cfg.optimizers["proposal_networks"]).init(prop))
+    mesh = mesh_lib.make_mesh(8)
+
+    def body(state, images, cameras, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return train_step(state, images, cameras, key, axis_name="data")
+
+    fn = jax.jit(jax.shard_map(body, mesh=mesh,
+                               in_specs=(P(), P(), P(), P()),
+                               out_specs=(P(), P()), check_vma=False))
+    new_state, metrics = fn(state, images, ds.cameras,
+                            jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert "interlevel_loss" in metrics
+    for arr, before in (
+            (new_state.camera["deltas"], camera["deltas"]),
+            (new_state.proposal["density"]["w"], prop["density"]["w"])):
+        shards = [np.asarray(s.data) for s in arr.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+        assert np.any(np.asarray(arr) != np.asarray(before)), \
+            "group received no update under shard_map"
