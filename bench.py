@@ -76,6 +76,28 @@ def main() -> None:
     render_dt = time_fn(render, state.params, bundle, key)
     render_rays_s = R / render_dt
 
+    # optional proposal-sampling accel (off in the headline numbers —
+    # those use the reference-default coarse/fine scheme)
+    from rsn.engine.optimizers import build_optimizer
+    from rsn.models import proposal as proposal_lib
+
+    pcfg = dataclasses.replace(mcfg, use_proposal=True)
+    pconfig = dataclasses.replace(
+        config, pipeline=dataclasses.replace(config.pipeline, model=pcfg))
+    prop = proposal_lib.init_proposal_params(jax.random.PRNGKey(2))
+    ptrain_step, poptimizer = make_train_step(pconfig)
+    pstate = TrainState(
+        params=params, opt_state=poptimizer.init(params),
+        step=jnp.int32(0), proposal=prop,
+        proposal_opt_state=build_optimizer(
+            pconfig.optimizers["proposal_networks"]).init(prop))
+    pstep_fn = jax.jit(lambda s, k: ptrain_step(s, images, ds.cameras, k))
+    ptrain_dt = time_fn(
+        lambda s, k: pstep_fn(s, k)[1]["total_loss"], pstate, key)
+    prender = jax.jit(lambda p, b, k: model_lib.get_outputs(
+        p, b, k, pcfg, training=False, prop_params=prop)["mid_rgb_fine"])
+    prender_dt = time_fn(prender, state.params, bundle, key)
+
     # harmonic mean: one train ray + one render ray per "unit of use"
     combined = 2.0 / (1.0 / train_rays_s + 1.0 / render_rays_s)
     per_chip = combined / max(n_dev, 1)
@@ -86,6 +108,8 @@ def main() -> None:
         "vs_baseline": round(per_chip / 250_000.0, 4),
         "train_rays_per_sec": round(train_rays_s, 1),
         "render_rays_per_sec": round(render_rays_s, 1),
+        "proposal_train_rays_per_sec": round(batch / ptrain_dt, 1),
+        "proposal_render_rays_per_sec": round(R / prender_dt, 1),
         "devices": n_dev,
     }))
 

@@ -104,12 +104,60 @@ def load_blender(data_dir: str, split: str = "train", downscale: int = 1,
     return Dataset(images=imgs, cameras=cameras, split=split)
 
 
+def _rotation_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rotation matrix taking unit vector a to unit vector b
+    (Rodrigues; nerfstudio camera_utils.rotation_matrix semantics)."""
+    v = np.cross(a, b)
+    c = float(np.dot(a, b))
+    if np.linalg.norm(v) < 1e-8:  # parallel / anti-parallel
+        return np.eye(3) if c > 0 else np.diag([1.0, -1.0, -1.0])
+    vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    return np.eye(3) + vx + vx @ vx * (1.0 / (1.0 + c))
+
+
+def auto_orient_and_center_poses(poses: np.ndarray,
+                                 method: str = "up",
+                                 center_method: str = "poses"):
+    """nerfstudio camera_utils.auto_orient_and_center_poses defaults:
+    center on the mean camera origin, rotate the mean camera up vector
+    (+y column of OpenGL c2w) onto world +z.  poses: (N, 3or4, 4) ->
+    (N, 3, 4)."""
+    poses = np.asarray(poses, np.float32)[:, :3, :4].copy()
+    if center_method == "poses":
+        center = poses[:, :3, 3].mean(axis=0)
+    else:
+        center = np.zeros(3, np.float32)
+    if method == "up":
+        up = poses[:, :3, 1].mean(axis=0)
+        up = up / max(np.linalg.norm(up), 1e-8)
+        rot = _rotation_between(up, np.array([0.0, 0.0, 1.0]))
+    else:
+        rot = np.eye(3, dtype=np.float32)
+    poses[:, :3, 3] = (poses[:, :3, 3] - center) @ rot.T
+    poses[:, :3, :3] = np.einsum("ij,njk->nik", rot, poses[:, :3, :3])
+    return poses.astype(np.float32)
+
+
+def auto_scale_poses(poses: np.ndarray) -> float:
+    """nerfstudio auto_scale_poses: 1 / max camera-origin norm."""
+    return float(1.0 / max(np.linalg.norm(poses[:, :3, 3], axis=-1).max(),
+                           1e-8))
+
+
+_DIST_KEYS = ("k1", "k2", "k3", "k4", "p1", "p2")
+
+
 def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
                     train_fraction: float = 0.9,
-                    max_images: Optional[int] = None) -> Dataset:
+                    max_images: Optional[int] = None,
+                    scale_factor: float = 1.0) -> Dataset:
     """Load a nerfstudio-format real capture (transforms.json with
     per-frame intrinsics).  Splits by the nerfstudio convention: every
-    eval_interval-th image to eval (approximated by train_fraction)."""
+    eval_interval-th image to eval (approximated by train_fraction).
+    Applies the NerfstudioDataParser's default pose processing (orient
+    up, center on poses, auto-scale to the unit ball) and carries the
+    OpenCV distortion coefficients into the Cameras (undistorted at
+    ray-generation time, rsn.data.cameras.undistort_coords)."""
     import jax.numpy as jnp
 
     with open(os.path.join(data_dir, "transforms.json")) as f:
@@ -128,7 +176,7 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
     def gkey(frame, key):
         return frame.get(key, meta.get(key))
 
-    images, poses, fx, fy, cx, cy = [], [], [], [], [], []
+    images, poses, fx, fy, cx, cy, dist = [], [], [], [], [], [], []
     for frame in frames:
         fname = os.path.join(data_dir, frame["file_path"])
         images.append(_load_image(fname, downscale))
@@ -137,15 +185,20 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
         fy.append(float(gkey(frame, "fl_y")) / downscale)
         cx.append(float(gkey(frame, "cx")) / downscale)
         cy.append(float(gkey(frame, "cy")) / downscale)
+        dist.append([float(gkey(frame, k) or 0.0) for k in _DIST_KEYS])
 
     imgs = np.stack(images)
-    poses_np = np.stack(poses)
+    poses_np = auto_orient_and_center_poses(np.stack(poses))
+    poses_np[:, :3, 3] *= auto_scale_poses(poses_np) * scale_factor
+    dist_np = np.asarray(dist, np.float32)
     N, H, W = imgs.shape[:3]
     cameras = Cameras(
         camera_to_worlds=jnp.asarray(poses_np[:, :3, :4]),
         fx=jnp.asarray(fx, jnp.float32), fy=jnp.asarray(fy, jnp.float32),
         cx=jnp.asarray(cx, jnp.float32), cy=jnp.asarray(cy, jnp.float32),
-        width=W, height=H)
+        width=W, height=H,
+        distortion=(jnp.asarray(dist_np)
+                    if np.any(dist_np != 0.0) else None))
     return Dataset(images=imgs, cameras=cameras, split=split)
 
 
@@ -157,7 +210,8 @@ def load_dataset(parser: str, data_dir: str, split: str,
                             max_images)
     if parser == "nerfstudio":
         return load_nerfstudio(data_dir, split, downscale,
-                               max_images=max_images)
+                               max_images=max_images,
+                               scale_factor=scale_factor)
     if parser == "synthetic":
         from rsn.data.synthetic import make_synthetic_dataset
         return make_synthetic_dataset(split=split)

@@ -31,19 +31,57 @@ class Cameras:
     cy: jax.Array  # (N,)
     width: int = struct.field(pytree_node=False, default=0)
     height: int = struct.field(pytree_node=False, default=0)
+    # OpenCV distortion [k1 k2 k3 k4 p1 p2] per camera; None = pinhole
+    distortion: jax.Array | None = None  # (N, 6)
 
     @property
     def num_cameras(self) -> int:
         return self.camera_to_worlds.shape[0]
 
 
-def _camera_space_dirs(x: jax.Array, y: jax.Array, fx, fy, cx, cy):
+def undistort_coords(x: jax.Array, y: jax.Array,
+                     dist: jax.Array, iters: int = 5):
+    """Invert the OpenCV radial(k1..k4)+tangential(p1,p2) model on
+    normalized image coords (nerfstudio's
+    radial_and_tangential_undistort semantics, fixed-point instead of
+    Newton — identical fixed point, jit-friendly).
+
+    Args: x, y: (...,) distorted normalized coords; dist: (..., 6).
+    """
+    k1, k2, k3, k4 = (dist[..., 0], dist[..., 1], dist[..., 2],
+                      dist[..., 3])
+    p1, p2 = dist[..., 4], dist[..., 5]
+    xu, yu = x, y
+    for _ in range(iters):
+        r2 = xu * xu + yu * yu
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+        dx = 2.0 * p1 * xu * yu + p2 * (r2 + 2.0 * xu * xu)
+        dy = p1 * (r2 + 2.0 * yu * yu) + 2.0 * p2 * xu * yu
+        xu = (x - dx) / radial
+        yu = (y - dy) / radial
+    return xu, yu
+
+
+def distort_coords(x: jax.Array, y: jax.Array, dist: jax.Array):
+    """Forward OpenCV distortion (the inverse of undistort_coords)."""
+    k1, k2, k3, k4 = (dist[..., 0], dist[..., 1], dist[..., 2],
+                      dist[..., 3])
+    p1, p2 = dist[..., 4], dist[..., 5]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return xd, yd
+
+
+def _camera_space_dirs(x: jax.Array, y: jax.Array, fx, fy, cx, cy,
+                       dist=None):
     """Unnormalized camera-space directions for pixel-center coords."""
-    return jnp.stack([
-        (x - cx) / fx,
-        -(y - cy) / fy,
-        -jnp.ones_like(x),
-    ], axis=-1)
+    u = (x - cx) / fx
+    v = (y - cy) / fy
+    if dist is not None:
+        u, v = undistort_coords(u, v, dist)
+    return jnp.stack([u, -v, -jnp.ones_like(x)], axis=-1)
 
 
 def generate_rays(cameras: Cameras, camera_indices: jax.Array,
@@ -60,12 +98,14 @@ def generate_rays(cameras: Cameras, camera_indices: jax.Array,
     fy = cameras.fy[camera_indices]
     cx = cameras.cx[camera_indices]
     cy = cameras.cy[camera_indices]
+    dist = (cameras.distortion[camera_indices]
+            if cameras.distortion is not None else None)
 
     xs = pixel_x.astype(jnp.float32) + 0.5
     ys = pixel_y.astype(jnp.float32) + 0.5
 
     def world_dir(px, py):
-        d_cam = _camera_space_dirs(px, py, fx, fy, cx, cy)  # (R, 3)
+        d_cam = _camera_space_dirs(px, py, fx, fy, cx, cy, dist)  # (R, 3)
         d = jnp.einsum("rij,rj->ri", c2w[..., :3, :3], d_cam)
         return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 

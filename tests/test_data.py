@@ -104,3 +104,101 @@ def test_nerfstudio_format_loader(tmp_path):
     assert test.cameras.num_cameras >= 1
     # per-frame intrinsics preserved
     assert float(train.cameras.fx[1]) != float(train.cameras.fx[0])
+
+
+def test_undistort_roundtrip():
+    """undistort(distort(x)) == x for OpenCV radial+tangential coeffs."""
+    import jax.numpy as jnp
+    from rsn.data.cameras import distort_coords, undistort_coords
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-0.4, 0.4, (64,)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-0.4, 0.4, (64,)).astype(np.float32))
+    dist = jnp.asarray(np.tile(np.array(
+        [0.05, -0.01, 0.001, 0.0, 0.002, -0.001], np.float32), (64, 1)))
+    xd, yd = distort_coords(x, y, dist)
+    xu, yu = undistort_coords(xd, yd, dist)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(y), atol=1e-5)
+
+
+def test_zero_distortion_matches_pinhole():
+    import jax.numpy as jnp
+    from rsn.data.cameras import Cameras, generate_rays
+
+    n, W, H = 2, 16, 12
+    eye = jnp.eye(3, 4)
+    base = dict(camera_to_worlds=jnp.broadcast_to(eye, (n, 3, 4)),
+                fx=jnp.full((n,), 20.0), fy=jnp.full((n,), 20.0),
+                cx=jnp.full((n,), W / 2), cy=jnp.full((n,), H / 2),
+                width=W, height=H)
+    pin = Cameras(**base)
+    zer = Cameras(**base, distortion=jnp.zeros((n, 6)))
+    ci = jnp.zeros((8,), jnp.int32)
+    py = jnp.arange(8, dtype=jnp.int32)
+    px = jnp.arange(8, dtype=jnp.int32)
+    o1, d1, a1 = generate_rays(pin, ci, py, px)
+    o2, d2, a2 = generate_rays(zer, ci, py, px)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-9)
+
+
+def test_auto_orient_center_scale():
+    from rsn.data.blender import (auto_orient_and_center_poses,
+                                  auto_scale_poses)
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(1)
+    tilt = Rotation.from_rotvec([0.4, -0.2, 0.1]).as_matrix()
+    poses = []
+    for i in range(6):
+        p = np.eye(4, dtype=np.float32)
+        jitter = Rotation.from_rotvec(
+            rng.normal(scale=0.02, size=3)).as_matrix()
+        p[:3, :3] = tilt @ jitter
+        p[:3, 3] = tilt @ np.array([np.cos(i), np.sin(i), 2.0]) + 5.0
+        poses.append(p)
+    out = auto_orient_and_center_poses(np.stack(poses))
+    # mean up (+y column) now points at world +z
+    mean_up = out[:, :3, 1].mean(axis=0)
+    mean_up /= np.linalg.norm(mean_up)
+    np.testing.assert_allclose(mean_up, [0, 0, 1], atol=1e-2)
+    # centered on the mean camera origin
+    np.testing.assert_allclose(out[:, :3, 3].mean(axis=0), 0.0, atol=1e-5)
+    # rotations stay orthonormal
+    rtr = np.einsum("nij,nik->njk", out[:, :3, :3], out[:, :3, :3])
+    np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), rtr.shape),
+                               atol=1e-5)
+    s = auto_scale_poses(out)
+    assert np.isclose(np.linalg.norm(out[:, :3, 3] * s, axis=-1).max(), 1.0)
+
+
+def test_nerfstudio_loader_distortion_and_pose_normalization(tmp_path):
+    import json
+    from PIL import Image
+    from rsn.data.blender import load_nerfstudio
+
+    H, W = 8, 10
+    (tmp_path / "images").mkdir(exist_ok=True)
+    frames = []
+    for i in range(4):
+        rel = f"images/f{i}.png"
+        Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(tmp_path / rel)
+        pose = np.eye(4)
+        pose[:3, 3] = [i, 1.0, 4.0]
+        frames.append({"file_path": rel,
+                       "transform_matrix": pose.tolist(),
+                       "fl_x": 50.0, "fl_y": 50.0, "cx": W / 2,
+                       "cy": H / 2})
+    meta = {"frames": frames, "k1": 0.1, "k2": -0.02, "p1": 0.001,
+            "p2": 0.0}
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    ds = load_nerfstudio(str(tmp_path), "train", train_fraction=1.0)
+    assert ds.cameras.distortion is not None
+    np.testing.assert_allclose(np.asarray(ds.cameras.distortion[0]),
+                               [0.1, -0.02, 0.0, 0.0, 0.001, 0.0])
+    # auto-scaled: cameras sit in the unit ball, touching it
+    norms = np.linalg.norm(
+        np.asarray(ds.cameras.camera_to_worlds)[:, :3, 3], axis=-1)
+    assert np.isclose(norms.max(), 1.0, atol=1e-5)
