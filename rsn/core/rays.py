@@ -169,7 +169,10 @@ def get_gaussian_blob(ray_samples: RaySamples) -> GaussianBlob:
     Matches nerfstudio Frustums.get_gaussian_blob:
     cone_radius = sqrt(pixel_area) / sqrt(pi).
     """
-    cone_radius = jnp.sqrt(ray_samples.pixel_area) / SQRT_PI
+    from rsn.core.render import safe_sqrt
+    # safe_sqrt: reflected-ray pixel_area can be exactly 0 (roughness
+    # collapse / grazing n.d) and sqrt's backward is inf there
+    cone_radius = safe_sqrt(ray_samples.pixel_area) / SQRT_PI
     return conical_frustum_to_factored(
         ray_samples.origins, ray_samples.directions,
         ray_samples.starts, ray_samples.ends, cone_radius)

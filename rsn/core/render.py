@@ -119,7 +119,35 @@ def blend_background_for_loss_computation(
     return pred_image, gt_image
 
 
+@jax.custom_jvp
+def safe_sqrt(x: jax.Array) -> jax.Array:
+    """sqrt with an EXACT forward and a clamped backward.
+
+    d sqrt(x)/dx = 1/(2 sqrt(x)) is infinite at x = 0; when a live
+    zero reaches a sqrt (e.g. the reflected-ray cone radius
+    sqrt(pixel_area) with pixel_area = pi*2|n.d|*roughness^2 == 0 after
+    the roughness head collapses — observed at train step ~560), the
+    inf cotangent NaN-poisons every parameter through Adam.  The torch
+    reference has the identical hazard (torch.sqrt(0).backward is inf —
+    plausibly why it ships a NaN tripwire, model.py:412).  Clamping the
+    backward at 1/(2*max(sqrt(x), 1e-6)) keeps values bit-identical and
+    gradients finite.
+    """
+    return jnp.sqrt(x)
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = jnp.sqrt(x)
+    return y, t / (2.0 * jnp.maximum(y, 1e-6))
+
+
 def normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """torch.nn.functional.normalize(dim=-1) semantics: x / max(||x||, eps)."""
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    """torch.nn.functional.normalize(dim=-1) semantics: x / max(||x||, eps).
+
+    The norm goes through safe_sqrt: at v == 0 the forward matches
+    torch (v/eps = 0) and the gradient stays finite (jnp.linalg.norm's
+    backward is 0/0 there)."""
+    n = safe_sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
     return v / jnp.maximum(n, eps)

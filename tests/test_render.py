@@ -135,3 +135,48 @@ def test_conical_frustum_gaussian_matches_torch_oracle():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(cj), ct.numpy(), rtol=1e-4,
                                atol=1e-7)
+
+
+def test_safe_sqrt_zero_gradient_finite():
+    """sqrt(0) backward is inf; safe_sqrt clamps it (exact forward)."""
+    import jax
+    from rsn.core.render import safe_sqrt
+
+    x = jnp.asarray([0.0, 1e-12, 4.0])
+    np.testing.assert_allclose(np.asarray(safe_sqrt(x)),
+                               np.sqrt(np.asarray(x)))
+    g = jax.grad(lambda v: jnp.sum(safe_sqrt(v)))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(float(g[2]), 0.25)  # exact where safe
+
+
+def test_normalize_zero_vector_gradient_finite():
+    import jax
+    from rsn.core.render import normalize
+
+    v = jnp.zeros((2, 3))
+    np.testing.assert_allclose(np.asarray(normalize(v)), 0.0)
+    g = jax.grad(lambda x: jnp.sum(normalize(x)))(v)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_zero_pixel_area_blob_gradient_finite():
+    """Regression: a reflected ray with sqradius == 0 (roughness
+    collapse) NaN-poisoned training through sqrt(pixel_area)'s inf
+    backward at train step ~560."""
+    import jax
+    from rsn.core.rays import RayBundle, get_gaussian_blob
+    from rsn.core.spacing import identity_spacing, spaced_sample
+
+    def f(pixel_area_scalar):
+        rb = RayBundle(
+            origins=jnp.zeros((2, 3)),
+            directions=jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]),
+            pixel_area=jnp.full((2, 1), pixel_area_scalar),
+            nears=jnp.zeros((2, 1)), fars=jnp.ones((2, 1)) * 4.0)
+        rs = spaced_sample(rb, identity_spacing(), 4)
+        blob = get_gaussian_blob(rs)
+        return jnp.sum(blob.radius_variance) + jnp.sum(blob.mean)
+
+    g = jax.grad(f)(0.0)
+    assert np.isfinite(float(g)), g
