@@ -32,20 +32,24 @@ def evaluate(params, dataset, config, mesh=None,
     per_image = []
     n = dataset.cameras.num_cameras if max_images is None else min(
         max_images, dataset.cameras.num_cameras)
+    # in proposal mode there is no coarse rgb head — mid_rgb_coarse is
+    # pure background fill and a "coarse_psnr" would be meaningless
+    report_coarse = not config.pipeline.model.use_proposal
     for i in range(n):
         out = render_image(params, dataset.cameras, i, config, mesh=mesh,
                            prop_params=prop_params)
         gt = dataset.images[i]
         fine = np.clip(out["mid_reflect_fine"], 0, 1)
-        coarse = np.clip(out["mid_rgb_coarse"], 0, 1)
         m = {
-            "coarse_psnr": float(metrics_lib.psnr(jnp.asarray(coarse),
-                                                  jnp.asarray(gt))),
             "fine_psnr": float(metrics_lib.psnr(jnp.asarray(fine),
                                                 jnp.asarray(gt))),
             "fine_ssim": float(metrics_lib.ssim(jnp.asarray(fine),
                                                 jnp.asarray(gt))),
         }
+        if report_coarse:
+            coarse = np.clip(out["mid_rgb_coarse"], 0, 1)
+            m["coarse_psnr"] = float(metrics_lib.psnr(jnp.asarray(coarse),
+                                                      jnp.asarray(gt)))
         lp = metrics_lib.lpips(fine, gt)
         if lp is not None:
             m["fine_lpips"] = lp

@@ -100,7 +100,8 @@ class _State:
     radius = 4.0
     run_dir = "."
     path_count = 0
-    lock = threading.Lock()
+    lock = threading.Lock()  # serializes renders (single chip)
+    path_lock = threading.Lock()  # guards path_count/export files
 
 
 def _scaled_cameras(cams, divisor: int):
@@ -164,9 +165,11 @@ def export_camera_path(poses, run_dir: str, cameras) -> str:
         for p in poses]
     path_dir = os.path.join(run_dir, "camera_paths")
     os.makedirs(path_dir, exist_ok=True)
-    _State.path_count += 1
+    with _State.path_lock:  # concurrent exports must not share a name
+        _State.path_count += 1
+        count = _State.path_count
     fname = os.path.join(
-        path_dir, f"path-{int(time.time())}-{_State.path_count}.json")
+        path_dir, f"path-{int(time.time())}-{count}.json")
     doc = {
         "camera_type": "perspective",
         "fx": float(cameras.fx[0]), "fy": float(cameras.fy[0]),

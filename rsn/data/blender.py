@@ -107,10 +107,19 @@ def load_blender(data_dir: str, split: str = "train", downscale: int = 1,
 def _rotation_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Rotation matrix taking unit vector a to unit vector b
     (Rodrigues; nerfstudio camera_utils.rotation_matrix semantics)."""
-    v = np.cross(a, b)
     c = float(np.dot(a, b))
-    if np.linalg.norm(v) < 1e-8:  # parallel / anti-parallel
-        return np.eye(3) if c > 0 else np.diag([1.0, -1.0, -1.0])
+    if c < -1.0 + 1e-6:
+        # near anti-parallel: 1/(1+c) is catastrophically cancelled —
+        # rotate pi about any axis orthogonal to a
+        helper = np.array([1.0, 0.0, 0.0])
+        if abs(a[0]) > 0.9:
+            helper = np.array([0.0, 1.0, 0.0])
+        axis = np.cross(a, helper)
+        axis = axis / np.linalg.norm(axis)
+        return (2.0 * np.outer(axis, axis) - np.eye(3)).astype(np.float32)
+    v = np.cross(a, b)
+    if np.linalg.norm(v) < 1e-8:  # parallel
+        return np.eye(3, dtype=np.float32)
     vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
     return np.eye(3) + vx + vx @ vx * (1.0 / (1.0 + c))
 
@@ -164,23 +173,31 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
         meta = json.load(f)
     frames = meta["frames"]
     n = len(frames)
+
+    # pose normalization MUST be computed from ALL frames before the
+    # split, or train and eval cameras land in different world frames
+    # (nerfstudio computes the transform once over every pose)
+    all_poses = np.stack([np.array(f["transform_matrix"], np.float32)
+                          for f in frames])
+    all_poses = auto_orient_and_center_poses(all_poses)
+    all_poses[:, :3, 3] *= auto_scale_poses(all_poses) * scale_factor
+
     idx = np.arange(n)
     n_train = int(round(n * train_fraction))
     train_idx = np.linspace(0, n - 1, n_train, dtype=int)
     eval_idx = np.setdiff1d(idx, train_idx)
     sel = train_idx if split == "train" else eval_idx
-    frames = [frames[i] for i in sel]
     if max_images is not None:
-        frames = frames[:max_images]
+        sel = sel[:max_images]
 
     def gkey(frame, key):
         return frame.get(key, meta.get(key))
 
-    images, poses, fx, fy, cx, cy, dist = [], [], [], [], [], [], []
-    for frame in frames:
+    images, fx, fy, cx, cy, dist = [], [], [], [], [], []
+    for i in sel:
+        frame = frames[i]
         fname = os.path.join(data_dir, frame["file_path"])
         images.append(_load_image(fname, downscale))
-        poses.append(np.array(frame["transform_matrix"], dtype=np.float32))
         fx.append(float(gkey(frame, "fl_x")) / downscale)
         fy.append(float(gkey(frame, "fl_y")) / downscale)
         cx.append(float(gkey(frame, "cx")) / downscale)
@@ -188,8 +205,7 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
         dist.append([float(gkey(frame, k) or 0.0) for k in _DIST_KEYS])
 
     imgs = np.stack(images)
-    poses_np = auto_orient_and_center_poses(np.stack(poses))
-    poses_np[:, :3, 3] *= auto_scale_poses(poses_np) * scale_factor
+    poses_np = all_poses[sel]
     dist_np = np.asarray(dist, np.float32)
     N, H, W = imgs.shape[:3]
     cameras = Cameras(

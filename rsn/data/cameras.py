@@ -40,25 +40,38 @@ class Cameras:
 
 
 def undistort_coords(x: jax.Array, y: jax.Array,
-                     dist: jax.Array, iters: int = 5):
+                     dist: jax.Array, iters: int = 10):
     """Invert the OpenCV radial(k1..k4)+tangential(p1,p2) model on
-    normalized image coords (nerfstudio's
-    radial_and_tangential_undistort semantics, fixed-point instead of
-    Newton — identical fixed point, jit-friendly).
+    normalized image coords — nerfstudio's
+    radial_and_tangential_undistort: Newton iterations on the residual
+    distort(xu, yu) - (x, y) with the analytic 2x2 Jacobian (a plain
+    fixed-point iteration diverges for strong wide-angle distortion,
+    e.g. k1 = -0.28 at the image corner).
 
     Args: x, y: (...,) distorted normalized coords; dist: (..., 6).
     """
     k1, k2, k3, k4 = (dist[..., 0], dist[..., 1], dist[..., 2],
                       dist[..., 3])
     p1, p2 = dist[..., 4], dist[..., 5]
+    eps = 1e-6
     xu, yu = x, y
     for _ in range(iters):
-        r2 = xu * xu + yu * yu
-        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
-        dx = 2.0 * p1 * xu * yu + p2 * (r2 + 2.0 * xu * xu)
-        dy = p1 * (r2 + 2.0 * yu * yu) + 2.0 * p2 * xu * yu
-        xu = (x - dx) / radial
-        yu = (y - dy) / radial
+        r = xu * xu + yu * yu
+        d = 1.0 + r * (k1 + r * (k2 + r * (k3 + r * k4)))
+        fx = d * xu + 2.0 * p1 * xu * yu + p2 * (r + 2.0 * xu * xu) - x
+        fy = d * yu + 2.0 * p2 * xu * yu + p1 * (r + 2.0 * yu * yu) - y
+        d_r = k1 + r * (2.0 * k2 + r * (3.0 * k3 + 4.0 * k4 * r))
+        d_x = 2.0 * xu * d_r
+        d_y = 2.0 * yu * d_r
+        fx_x = d + d_x * xu + 2.0 * p1 * yu + 6.0 * p2 * xu
+        fx_y = d_y * xu + 2.0 * p1 * xu + 2.0 * p2 * yu
+        fy_x = d_x * yu + 2.0 * p2 * yu + 2.0 * p1 * xu
+        fy_y = d + d_y * yu + 2.0 * p2 * xu + 6.0 * p1 * yu
+        denom = fy_x * fx_y - fx_x * fy_y
+        safe = jnp.abs(denom) > eps
+        denom_s = jnp.where(safe, denom, 1.0)
+        xu = xu + jnp.where(safe, (fx * fy_y - fy * fx_y) / denom_s, 0.0)
+        yu = yu + jnp.where(safe, (fy * fx_x - fx * fy_x) / denom_s, 0.0)
     return xu, yu
 
 

@@ -45,9 +45,14 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
-def load_checkpoint(path: str, abstract_state: Any) -> Dict[str, Any]:
+def load_checkpoint(path: str, abstract_state: Any = None) -> Dict[str, Any]:
+    """Restore a checkpoint; abstract_state=None restores from the
+    checkpoint's own saved structure (arrays come back as-is, optax
+    states as plain pytrees)."""
     import orbax.checkpoint as ocp
     with ocp.StandardCheckpointer() as ckptr:
+        if abstract_state is None:
+            return ckptr.restore(os.path.abspath(path))
         return ckptr.restore(os.path.abspath(path), abstract_state)
 
 

@@ -378,16 +378,18 @@ class Trainer:
                            mesh=self.mesh if self.num_devices > 1 else None,
                            prop_params=self.state.proposal)
         gt = self.eval_ds.images[idx]
+        mcfg_all = self.config.pipeline.model
         fine = np.clip(out["mid_reflect_fine"], 0, 1)
         coarse = np.clip(out["mid_rgb_coarse"], 0, 1)
         m = {
-            "coarse_psnr": float(metrics_lib.psnr(jnp.asarray(coarse),
-                                                  jnp.asarray(gt))),
             "fine_psnr": float(metrics_lib.psnr(jnp.asarray(fine),
                                                 jnp.asarray(gt))),
             "fine_ssim": float(metrics_lib.ssim(jnp.asarray(fine),
                                                 jnp.asarray(gt))),
         }
+        if not mcfg_all.use_proposal:  # no coarse rgb head in prop mode
+            m["coarse_psnr"] = float(metrics_lib.psnr(
+                jnp.asarray(coarse), jnp.asarray(gt)))
         m["psnr"] = m["fine_psnr"]
         img_dir = os.path.join(self.run_dir, "eval_images")
         os.makedirs(img_dir, exist_ok=True)

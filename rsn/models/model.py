@@ -404,4 +404,7 @@ def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
                 outputs["weights_coarse"]
                 * jax.nn.relu(outputs["n_dot_d_coarse"]) ** 2),
         })
-    return {k: v * coefficients.get(k, 1.0) for k, v in losses.items()}
+    # strict lookup: a silently defaulted coefficient would train at the
+    # wrong weight with no error (callers in proposal mode must supply
+    # "interlevel_loss", as make_train_step/make_eval_batch_step do)
+    return {k: v * coefficients[k] for k, v in losses.items()}

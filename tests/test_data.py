@@ -202,3 +202,73 @@ def test_nerfstudio_loader_distortion_and_pose_normalization(tmp_path):
     norms = np.linalg.norm(
         np.asarray(ds.cameras.camera_to_worlds)[:, :3, 3], axis=-1)
     assert np.isclose(norms.max(), 1.0, atol=1e-5)
+
+
+def test_undistort_newton_strong_wide_angle():
+    """Fixed-point iteration diverges at k1=-0.28, r~1 (action-cam
+    corner rays); the Newton solve must invert it."""
+    import jax.numpy as jnp
+    from rsn.data.cameras import distort_coords, undistort_coords
+
+    x = jnp.asarray([1.0, 1.2, 0.7, -1.1], jnp.float32)
+    y = jnp.asarray([0.0, 0.3, -0.9, 0.5], jnp.float32)
+    dist = jnp.tile(jnp.asarray([[-0.28, 0.05, 0.0, 0.0, 0.001, -0.002]],
+                                jnp.float32), (4, 1))
+    xd, yd = distort_coords(x, y, dist)
+    xu, yu = undistort_coords(xd, yd, dist)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(y), atol=1e-4)
+
+
+def test_rotation_between_antiparallel_stable():
+    from rsn.data.blender import _rotation_between
+
+    a = np.array([1e-4, 0.0, -1.0])
+    a = a / np.linalg.norm(a)
+    b = np.array([0.0, 0.0, 1.0])
+    rot = _rotation_between(a, b)
+    # orthonormal
+    np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(rot), 1.0, atol=1e-5)
+    # maps a onto (approximately) b
+    assert float(np.dot(rot @ a, b)) > 0.999
+
+
+def test_nerfstudio_splits_share_world_frame(tmp_path):
+    """Pose normalization must be computed over ALL frames before the
+    split, or train/eval cameras live in different coordinate frames."""
+    import json
+    from PIL import Image
+    from rsn.data.blender import (auto_orient_and_center_poses,
+                                  auto_scale_poses, load_nerfstudio)
+
+    H, W = 8, 10
+    (tmp_path / "images").mkdir(exist_ok=True)
+    frames, raw = [], []
+    rng = np.random.default_rng(3)
+    for i in range(10):
+        rel = f"images/f{i}.png"
+        Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(tmp_path / rel)
+        pose = np.eye(4)
+        pose[:3, 3] = rng.normal(size=3) * (1.0 + i)
+        frames.append({"file_path": rel,
+                       "transform_matrix": pose.tolist(),
+                       "fl_x": 50.0, "fl_y": 50.0, "cx": W / 2,
+                       "cy": H / 2})
+        raw.append(pose.astype(np.float32))
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump({"frames": frames}, f)
+
+    expected = auto_orient_and_center_poses(np.stack(raw))
+    expected[:, :3, 3] *= auto_scale_poses(expected)
+    train = load_nerfstudio(str(tmp_path), "train", train_fraction=0.5)
+    test = load_nerfstudio(str(tmp_path), "test", train_fraction=0.5)
+    got = {}
+    train_idx = np.linspace(0, 9, 5, dtype=int)
+    test_idx = np.setdiff1d(np.arange(10), train_idx)
+    for split_idx, ds in ((train_idx, train), (test_idx, test)):
+        for j, i in enumerate(split_idx):
+            got[int(i)] = np.asarray(ds.cameras.camera_to_worlds[j])
+    for i in range(10):
+        np.testing.assert_allclose(got[i], expected[i, :3, :4], atol=1e-5,
+                                   err_msg=f"frame {i}")
