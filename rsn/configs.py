@@ -86,6 +86,11 @@ class ModelConfig:
     use_proposal: bool = False
     num_proposal_samples: int = 64
     interlevel_loss_mult: float = 1.0
+    # Config-only knob, never read — replicates the reference exactly
+    # (reflect_sampling_nerf_model.py:71-74 declares DNERF temporal
+    # distortion with enable=False and no consumer; SURVEY.md §2.2).
+    enable_temporal_distortion: bool = False
+    temporal_distortion_kind: str = "dnerf"
     background_color: str = "white"    # model.py:117
     compute_dtype: str = "float32"     # "bfloat16" for the trunk matmuls
     # Fused Pallas kernels (rsn/kernels).  Both are automatically gated
