@@ -47,7 +47,7 @@ OUT_ROUGH = 263
 OUT_NORMALS = slice(264, 267)
 N_HEAD_COLS = 267
 
-DEFAULT_TILE = 1024
+DEFAULT_TILE = 2048
 
 
 def pack_params(params: Dict[str, Any]):
@@ -273,27 +273,38 @@ def pack_params_v3(params: Dict[str, Any]):
     return base + (w_emb.astype(jnp.bfloat16), b_mid, w_out, b_out)
 
 
-N_HALVES = 2  # half-tile body: processing two data-independent halves
-# per grid step keeps each half's live activation set small enough that
-# the recompute-backward (field_train) fits VMEM at tile=1024 (+10%),
-# and lets v3/v4 share one forward body.  Forward throughput itself is
-# unchanged (robust median-of-5 timing: 107 TF/s either way — Mosaic's
-# scheduler already overlaps VPU/MXU within one tile).
+N_HALVES = 2  # half-tile body: BOTH halves' IPE front-ends (the VPU
+# transcendentals — the single largest non-matmul cost, ~0.4ms/131k
+# samples) are issued upfront so Mosaic overlaps them with the first
+# half's MXU trunk (measured 1.19 -> 0.97 ms at tile 2048); the small
+# per-half live set also lets the recompute-backward fit VMEM at
+# larger tiles.
 
 
-def _field_half(mc, g_rep, ipe, ws, bs, wh, bh, w_emb, b_mid, w_out,
-                b_out, wd_row=None):
-    """Forward body for one half-tile -> (T/2, V3_OUT) fp32 columns.
-
-    With wd_row (v4), also runs the in-VMEM analytic-normals dgrad chain
-    and fills cols V4_DPDM with d density_preact/d mean.
-    """
-    f32, bf16 = jnp.float32, jnp.bfloat16
+def _ipe_parts(mc, ipe):
+    """In-kernel IPE -> (x bf16, pre_enc f32, damp f32) (the latter two
+    feed the v4 normals-dgrad IPE backward)."""
+    f32 = jnp.float32
     A, bA, V, M = ipe
     pre_enc = jnp.dot(mc, A, preferred_element_type=f32) + bA
     var = jnp.dot(mc, V, preferred_element_type=f32)
     damp = jnp.exp(-0.5 * var)
-    x = (M * (damp * jnp.sin(pre_enc)) + (1.0 - M) * pre_enc).astype(bf16)
+    x = (M * (damp * jnp.sin(pre_enc))
+         + (1.0 - M) * pre_enc).astype(jnp.bfloat16)
+    return x, pre_enc, damp
+
+
+def _field_half(parts, g_rep, ipe, ws, bs, wh, bh, w_emb, b_mid, w_out,
+                b_out, wd_row=None):
+    """Forward body for one half-tile -> (T/2, V3_OUT) fp32 columns.
+
+    parts: the half's precomputed IPE (x, pre_enc, damp).  With wd_row
+    (v4), also runs the in-VMEM analytic-normals dgrad chain and fills
+    cols V4_DPDM with d density_preact/d mean.
+    """
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    A, bA, V, M = ipe
+    x, pre_enc, damp = parts
 
     hs = []
     h = x
@@ -373,8 +384,11 @@ def _field_kernel_halved(want_normals, mc_ref, g_ref, A_ref, bA_ref,
                     preferred_element_type=jnp.float32)  # (T, 512)
     T = mc_ref.shape[0]
     H = T // N_HALVES
+    # both halves' VPU-heavy IPE upfront: overlaps half 0's MXU trunk
+    parts = [_ipe_parts(mc_ref[p * H:(p + 1) * H, :], ipe)
+             for p in range(N_HALVES)]
     for p in range(N_HALVES):
-        out = _field_half(mc_ref[p * H:(p + 1) * H, :],
+        out = _field_half(parts[p],
                           g_rep[p * H:(p + 1) * H, :], ipe, ws, bs, wh,
                           bh, w_emb, b_mid, w_out, b_out, wd_row)
         out_ref[p * H:(p + 1) * H, :] = out.astype(jnp.bfloat16)
@@ -426,6 +440,8 @@ def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
         grid=grid,
         in_specs=in_specs,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_specs=pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, V3_OUT), jnp.bfloat16),
@@ -465,7 +481,7 @@ _kernel_v4 = functools.partial(_field_kernel_halved, True)
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
                                                "interpret"))
 def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
-                     samples_per_ray: int, tile: int = 512,
+                     samples_per_ray: int, tile: int = DEFAULT_TILE,
                      interpret: bool = False):
     """v3 forward + fused analytic-normals gradient.
 
@@ -504,6 +520,8 @@ def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
         grid=grid,
         in_specs=in_specs,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_specs=pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, V3_OUT), jnp.bfloat16),

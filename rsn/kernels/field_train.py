@@ -454,10 +454,10 @@ def _bwd(samples_per_ray, tile, want_normals, res, d_out):
     packed = pack_params_v3(params)
     # the halved kernel body keeps the per-half working set small
     # enough that the recompute-backward fits (and runs ~10% faster)
-    # at tile=1024
+    # at tile=1024; 2048 regresses (VMEM pressure)
     dmc, dg, dpacked = field_backward_v4(
         packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
-        samples_per_ray, tile)
+        samples_per_ray, min(tile, 1024))
     return _unpack_grads(params, dpacked), dmc, dg
 
 

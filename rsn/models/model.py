@@ -91,7 +91,10 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
         from rsn.kernels import field_pallas as fp
 
         R, S = mean.shape[0], mean.shape[1]
-        tile = S * max(1, fp.DEFAULT_TILE // S)
+        # v3 (render) is fastest at tile 2048; the v4 forward and the
+        # recompute-backward carry ~2x the live set and prefer 1024
+        base_tile = 1024 if training else fp.DEFAULT_TILE
+        tile = S * max(1, base_tile // S)
         rays_per_tile = tile // S
         r_pad = -(-R // rays_per_tile) * rays_per_tile
         mc = jnp.concatenate([mean, cov_diag], axis=-1).reshape(R * S, 6)
