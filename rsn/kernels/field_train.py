@@ -76,16 +76,21 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
     bs = (b0, b1, b2, b3, b4, b5, b6, b7)
     ipe = (A_ref[:], bA_ref[:], V_ref[:], M_ref[:])
 
-    # interleaved half-tiles (see field_pallas.N_HALVES): the halves'
-    # recompute+backprop chains are data-independent, so Mosaic overlaps
-    # one half's VPU work with the other's MXU matmuls; only the wgrad
-    # accumulate points serialize.
+    # interleaved half-tiles (see field_pallas.N_HALVES): both halves'
+    # IPE front-ends (VPU transcendentals) are issued upfront so they
+    # overlap the first half's MXU recompute; the halves' chains are
+    # otherwise data-independent and only the wgrad accumulates
+    # serialize.
+    from rsn.kernels.field_pallas import _ipe_parts
+
     T = mc_ref.shape[0]
     H = T // 2
+    parts = [_ipe_parts(mc_ref[p * H:(p + 1) * H, :], ipe)
+             for p in range(2)]
     for p in range(2):
         sl = slice(p * H, (p + 1) * H)
         dmc, dg, contribs = _bwd_half(
-            mc_ref[sl, :], grep_ref[sl, :], dout_ref[sl, :], ipe, ws, bs,
+            parts[p], grep_ref[sl, :], dout_ref[sl, :], ipe, ws, bs,
             wh, bh, w_emb, b_mid, w_out, b_out)
         dmc_ref[sl, :] = dmc
         dg_ref[sl, :] = dg
@@ -93,10 +98,11 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
             dpacked[j][:] += c
 
 
-def _bwd_half(mc, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
+def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
               w_out, b_out):
     """Recompute-backward for one half-tile.
 
+    parts: the half's precomputed IPE (x, pre_enc, damp).
     Returns (dmc (H,16) f32, dg (H,512) bf16, contribs[22]) where
     contribs follow the packed-operand order (w0..7, b0..7, wh, bh,
     w_emb, b_mid, w_out, b_out).
@@ -107,11 +113,8 @@ def _bwd_half(mc, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     contribs = [None] * N_PACKED
 
     # ---- forward recompute (keep activations in VMEM) ----
-    pre_enc = jnp.dot(mc, A, preferred_element_type=f32) + bA
-    var = jnp.dot(mc, V, preferred_element_type=f32)
-    damp = jnp.exp(-0.5 * var)
+    x, pre_enc, damp = parts
     sin_pre = jnp.sin(pre_enc)
-    x = (M * (damp * sin_pre) + (1.0 - M) * pre_enc).astype(bf16)
 
     hs = []  # post-relu activations, bf16
     h = x
