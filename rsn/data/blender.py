@@ -174,6 +174,14 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
     frames = meta["frames"]
     n = len(frames)
 
+    camera_model = meta.get("camera_model", "OPENCV")
+    if camera_model not in ("OPENCV", "PINHOLE", "SIMPLE_PINHOLE"):
+        # fisheye/equirectangular need a different projection — failing
+        # loudly beats silently generating wrong rays
+        raise NotImplementedError(
+            f"camera_model {camera_model!r} is not supported "
+            "(perspective OPENCV/PINHOLE only)")
+
     # pose normalization MUST be computed from ALL frames before the
     # split, or train and eval cameras land in different world frames
     # (nerfstudio computes the transform once over every pose)
