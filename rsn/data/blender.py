@@ -175,12 +175,16 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
     n = len(frames)
 
     camera_model = meta.get("camera_model", "OPENCV")
-    if camera_model not in ("OPENCV", "PINHOLE", "SIMPLE_PINHOLE"):
-        # fisheye/equirectangular need a different projection — failing
+    if camera_model in ("OPENCV", "PINHOLE", "SIMPLE_PINHOLE"):
+        cam_model = "perspective"
+    elif camera_model == "OPENCV_FISHEYE":
+        cam_model = "fisheye"  # Kannala-Brandt theta polynomial (k1-k4)
+    else:
+        # equirectangular etc. need a different projection — failing
         # loudly beats silently generating wrong rays
         raise NotImplementedError(
             f"camera_model {camera_model!r} is not supported "
-            "(perspective OPENCV/PINHOLE only)")
+            "(OPENCV/PINHOLE perspective or OPENCV_FISHEYE)")
 
     # pose normalization MUST be computed from ALL frames before the
     # split, or train and eval cameras land in different world frames
@@ -222,7 +226,8 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
         cx=jnp.asarray(cx, jnp.float32), cy=jnp.asarray(cy, jnp.float32),
         width=W, height=H,
         distortion=(jnp.asarray(dist_np)
-                    if np.any(dist_np != 0.0) else None))
+                    if np.any(dist_np != 0.0) else None),
+        camera_model=cam_model)
     return Dataset(images=imgs, cameras=cameras, split=split)
 
 

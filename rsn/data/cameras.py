@@ -23,7 +23,7 @@ from flax import struct
 
 @struct.dataclass
 class Cameras:
-    """Stacked pinhole cameras. Leading axis = camera index."""
+    """Stacked cameras. Leading axis = camera index."""
     camera_to_worlds: jax.Array  # (N, 3, 4)
     fx: jax.Array  # (N,)
     fy: jax.Array  # (N,)
@@ -31,8 +31,14 @@ class Cameras:
     cy: jax.Array  # (N,)
     width: int = struct.field(pytree_node=False, default=0)
     height: int = struct.field(pytree_node=False, default=0)
-    # OpenCV distortion [k1 k2 k3 k4 p1 p2] per camera; None = pinhole
+    # distortion coefficients per camera; None = ideal lens.
+    # perspective: OpenCV [k1 k2 k3 k4 p1 p2];
+    # fisheye: Kannala-Brandt [k1 k2 k3 k4 0 0] (theta polynomial)
     distortion: jax.Array | None = None  # (N, 6)
+    # projection model: "perspective" (pinhole+OpenCV distortion) or
+    # "fisheye" (OPENCV_FISHEYE equidistant, theta-polynomial)
+    camera_model: str = struct.field(pytree_node=False,
+                                     default="perspective")
 
     @property
     def num_cameras(self) -> int:
@@ -87,12 +93,49 @@ def distort_coords(x: jax.Array, y: jax.Array, dist: jax.Array):
     return xd, yd
 
 
+def fisheye_distort_theta(theta: jax.Array, dist: jax.Array) -> jax.Array:
+    """Kannala-Brandt theta polynomial: theta_d = theta (1 + k1 t^2 +
+    k2 t^4 + k3 t^6 + k4 t^8)  (OpenCV fisheye forward model)."""
+    k1, k2, k3, k4 = (dist[..., 0], dist[..., 1], dist[..., 2],
+                      dist[..., 3])
+    t2 = theta * theta
+    return theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+
+
+def fisheye_undistort_theta(theta_d: jax.Array, dist: jax.Array,
+                            iters: int = 10) -> jax.Array:
+    """Invert the theta polynomial with Newton iterations."""
+    k1, k2, k3, k4 = (dist[..., 0], dist[..., 1], dist[..., 2],
+                      dist[..., 3])
+    theta = theta_d
+    for _ in range(iters):
+        t2 = theta * theta
+        f = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))) \
+            - theta_d
+        fp = 1.0 + t2 * (3.0 * k1 + t2 * (5.0 * k2 + t2 * (
+            7.0 * k3 + 9.0 * k4 * t2)))
+        theta = theta - f / jnp.where(jnp.abs(fp) > 1e-6, fp, 1.0)
+    return theta
+
+
 def _camera_space_dirs(x: jax.Array, y: jax.Array, fx, fy, cx, cy,
-                       dist=None):
+                       dist=None, camera_model: str = "perspective"):
     """Unnormalized camera-space directions for pixel-center coords."""
     u = (x - cx) / fx
     v = (y - cy) / fy
-    if dist is not None:
+    if camera_model == "fisheye":
+        # equidistant projection: pixel radius ~ theta_d; undo the
+        # theta polynomial, then r = tan(theta) recovers pinhole coords
+        theta_d = jnp.sqrt(u * u + v * v)
+        if dist is not None:
+            theta = fisheye_undistort_theta(theta_d, dist)
+        else:
+            theta = theta_d
+        scale = jnp.where(theta_d > 1e-9, jnp.tan(theta)
+                          / jnp.maximum(theta_d, 1e-9), 1.0)
+        u = u * scale
+        v = v * scale
+    elif dist is not None:
         u, v = undistort_coords(u, v, dist)
     return jnp.stack([u, -v, -jnp.ones_like(x)], axis=-1)
 
@@ -118,7 +161,8 @@ def generate_rays(cameras: Cameras, camera_indices: jax.Array,
     ys = pixel_y.astype(jnp.float32) + 0.5
 
     def world_dir(px, py):
-        d_cam = _camera_space_dirs(px, py, fx, fy, cx, cy, dist)  # (R, 3)
+        d_cam = _camera_space_dirs(px, py, fx, fy, cx, cy, dist,
+                                   cameras.camera_model)  # (R, 3)
         d = jnp.einsum("rij,rj->ri", c2w[..., :3, :3], d_cam)
         return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 

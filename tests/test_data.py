@@ -272,3 +272,75 @@ def test_nerfstudio_splits_share_world_frame(tmp_path):
     for i in range(10):
         np.testing.assert_allclose(got[i], expected[i, :3, :4], atol=1e-5,
                                    err_msg=f"frame {i}")
+
+
+def test_fisheye_projection_round_trip():
+    """Project known 3D directions with the OpenCV fisheye model, then
+    generate_rays from those pixels must recover the directions."""
+    import jax.numpy as jnp
+    from rsn.data.cameras import (Cameras, fisheye_distort_theta,
+                                  generate_rays)
+
+    fx = fy = 120.0
+    W, H = 320, 240
+    cxv, cyv = W / 2.0, H / 2.0
+    dist = np.array([0.03, -0.01, 0.004, -0.001, 0.0, 0.0], np.float32)
+
+    rng = np.random.default_rng(0)
+    # camera-space unit directions in front of the camera (z < 0)
+    d = rng.normal(size=(16, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.7
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    # forward fisheye projection (OpenCV): theta from the view axis
+    x, y = d[:, 0] / -d[:, 2], -d[:, 1] / -d[:, 2]  # pinhole coords
+    r = np.sqrt(x**2 + y**2)
+    theta = np.arctan(r)
+    theta_d = np.asarray(fisheye_distort_theta(
+        jnp.asarray(theta), jnp.asarray(np.tile(dist, (16, 1)))))
+    scale = np.where(r > 1e-9, theta_d / np.maximum(r, 1e-9), 1.0)
+    px = fx * x * scale + cxv
+    py = fy * y * scale + cyv
+
+    eye = jnp.eye(3, 4)
+    cams = Cameras(camera_to_worlds=jnp.broadcast_to(eye, (1, 3, 4)),
+                   fx=jnp.full((1,), fx), fy=jnp.full((1,), fy),
+                   cx=jnp.full((1,), cxv), cy=jnp.full((1,), cyv),
+                   width=W, height=H,
+                   distortion=jnp.asarray(dist)[None],
+                   camera_model="fisheye")
+    ci = jnp.zeros((16,), jnp.int32)
+    # generate_rays adds the +0.5 pixel-center offset; pre-subtract it
+    o, got, _ = generate_rays(cams, ci, jnp.asarray(py - 0.5),
+                              jnp.asarray(px - 0.5))
+    dots = np.sum(np.asarray(got) * d, axis=-1)
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+
+def test_fisheye_loader(tmp_path):
+    import json
+    from PIL import Image
+    from rsn.data.blender import load_nerfstudio
+
+    H, W = 8, 10
+    (tmp_path / "images").mkdir(exist_ok=True)
+    frames = []
+    for i in range(3):
+        rel = f"images/f{i}.png"
+        Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(tmp_path / rel)
+        pose = np.eye(4); pose[:3, 3] = [i, 0, 3.0]
+        frames.append({"file_path": rel, "transform_matrix": pose.tolist(),
+                       "fl_x": 40.0, "fl_y": 40.0, "cx": W/2, "cy": H/2})
+    meta = {"frames": frames, "camera_model": "OPENCV_FISHEYE",
+            "k1": 0.02}
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    ds = load_nerfstudio(str(tmp_path), "train", train_fraction=1.0)
+    assert ds.cameras.camera_model == "fisheye"
+
+    meta["camera_model"] = "EQUIRECTANGULAR"
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        load_nerfstudio(str(tmp_path), "train", train_fraction=1.0)
