@@ -262,7 +262,12 @@ _BAND_KS = (1.0, 3.0, 10.0, 36.0)
 
 
 def pack_params_v3(params: Dict[str, Any]):
-    """v2 operands + mid-MLP emb-half and mid head (bf16-padded)."""
+    """v2 operands + mid-MLP emb-half and mid head (bf16-padded).
+
+    This is the UNFUSED packing — the recompute-backward kernel needs
+    the bottleneck head separate (its wgrad and the w_emb wgrad are
+    distinct outputs).  The forward kernels use pack_params_v3f.
+    """
     base = pack_params(params)
     w_emb = params["mid_mlp"]["w"][34:]  # (256, 128), ISH rows excluded
     b_mid = params["mid_mlp"]["b"].reshape(1, -1).astype(jnp.float32)
@@ -271,6 +276,49 @@ def pack_params_v3(params: Dict[str, Any]):
     b_out = jnp.pad(params["mid"]["b"], (0, 125)).reshape(1, -1).astype(
         jnp.float32)
     return base + (w_emb.astype(jnp.bfloat16), b_mid, w_out, b_out)
+
+
+# fused-forward head column layout (pack_params_v3f 11-col heads matmul)
+FH_DENSITY = 0
+FH_DIFF = slice(1, 4)
+FH_TINT = slice(4, 7)
+FH_ROUGH = 7
+FH_NORMALS = slice(8, 11)
+FH_COLS = 11
+
+
+def pack_params_v3f(params: Dict[str, Any]):
+    """Fused-FORWARD packing: the bottleneck head is folded into the
+    mid-MLP embedding half (w_comb = W_bneck @ W_emb, folded in fp32),
+    so the 256-wide bottleneck never materializes in the kernel and the
+    heads matmul shrinks from 384 to 128 columns (11 useful: density,
+    diff, tint, roughness, normals) — ~10% fewer forward FLOPs.
+
+    Returns ws(8) + bs(8) + (whs, bhs, w_comb, b_comb, w_out, b_out).
+    """
+    f32 = jnp.float32
+    base = pack_params(params)
+    ws, bs = base[:8], base[8:16]
+    head_ws = [params["density"]["w"], params["diff"]["w"],
+               params["tint"]["w"], params["roughness"]["w"],
+               params["normals"]["w"]]
+    head_bs = [params["density"]["b"], params["diff"]["b"],
+               params["tint"]["b"], params["roughness"]["b"],
+               params["normals"]["b"]]
+    whs = jnp.concatenate(head_ws, axis=1)  # (256, 11)
+    bhs = jnp.concatenate(head_bs, axis=0)  # (11,)
+    whs = jnp.pad(whs, ((0, 0), (0, 128 - FH_COLS))).astype(jnp.bfloat16)
+    bhs = jnp.pad(bhs, (0, 128 - FH_COLS)).reshape(1, -1).astype(f32)
+    wb = params["bottleneck"]["w"].astype(f32)  # (256, 256)
+    bb = params["bottleneck"]["b"].astype(f32)  # (256,)
+    w_emb = params["mid_mlp"]["w"][34:].astype(f32)  # (256, 128)
+    b_mid = params["mid_mlp"]["b"].astype(f32)  # (128,)
+    w_comb = (wb @ w_emb).astype(jnp.bfloat16)  # (256, 128)
+    b_comb = (bb @ w_emb + b_mid).reshape(1, -1).astype(f32)
+    w_out = jnp.pad(params["mid"]["w"], ((0, 0), (0, 125))).astype(
+        jnp.bfloat16)
+    b_out = jnp.pad(params["mid"]["b"], (0, 125)).reshape(1, -1).astype(f32)
+    return ws + bs + (whs, bhs, w_comb, b_comb, w_out, b_out)
 
 
 N_HALVES = 2  # half-tile body: BOTH halves' IPE front-ends (the VPU
@@ -294,13 +342,16 @@ def _ipe_parts(mc, ipe):
     return x, pre_enc, damp
 
 
-def _field_half(parts, g_rep, ipe, ws, bs, wh, bh, w_emb, b_mid, w_out,
-                b_out, wd_row=None):
+def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
+                w_out, b_out, wd_row=None):
     """Forward body for one half-tile -> (T/2, V3_OUT) fp32 columns.
 
-    parts: the half's precomputed IPE (x, pre_enc, damp).  With wd_row
-    (v4), also runs the in-VMEM analytic-normals dgrad chain and fills
-    cols V4_DPDM with d density_preact/d mean.
+    parts: the half's precomputed IPE (x, pre_enc, damp).  Operands use
+    the fused pack_params_v3f layout: the bottleneck head is folded into
+    the mid-MLP (w_comb), the remaining heads are an 11-column matmul
+    (whs, FH_* layout).  With wd_row (v4), also runs the in-VMEM
+    analytic-normals dgrad chain and fills cols V4_DPDM with
+    d density_preact/d mean.
     """
     f32, bf16 = jnp.float32, jnp.bfloat16
     A, bA, V, M = ipe
@@ -315,17 +366,15 @@ def _field_half(parts, g_rep, ipe, ws, bs, wh, bh, w_emb, b_mid, w_out,
         h = jnp.maximum(acc + bs[i][:], 0.0).astype(bf16)
         if wd_row is not None:
             hs.append(h)
-    heads = jnp.dot(h, wh[:], preferred_element_type=f32) + bh[:]
-    # heads columns per the v1/v2 layout
-    bneck = heads[:, 0:256].astype(bf16)
-    density_pre = heads[:, 256:257]
-    diff = jax.nn.sigmoid(heads[:, 257:260])
-    tint = jax.nn.sigmoid(heads[:, 260:263])
-    rough_raw = heads[:, 263:264]
-    normals_raw = heads[:, 264:267]
+    heads = jnp.dot(h, whs[:], preferred_element_type=f32) + bhs[:]
+    density_pre = heads[:, 0:1]
+    diff = jax.nn.sigmoid(heads[:, 1:4])
+    tint = jax.nn.sigmoid(heads[:, 4:7])
+    rough_raw = heads[:, 7:8]
+    normals_raw = heads[:, 8:11]
 
     rough_sp = jax.nn.softplus(rough_raw)
-    mid_pre = jnp.dot(bneck, w_emb[:], preferred_element_type=f32) + b_mid[:]
+    mid_pre = jnp.dot(h, w_comb[:], preferred_element_type=f32) + b_comb[:]
     for bi, k in enumerate(_BAND_KS):
         band_rep = g_rep[:, bi * 128:(bi + 1) * 128]
         mid_pre = mid_pre + jnp.exp(-rough_sp * k) * band_rep
@@ -367,12 +416,12 @@ def _field_kernel_halved(want_normals, mc_ref, g_ref, A_ref, bA_ref,
                          V_ref, M_ref, E_ref, *refs):
     if want_normals:
         (w0, w1, w2, w3, w4, w5, w6, w7,
-         b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
-         w_emb, b_mid, w_out, b_out, wd_row, out_ref) = refs
+         b0, b1, b2, b3, b4, b5, b6, b7, whs, bhs,
+         w_comb, b_comb, w_out, b_out, wd_row, out_ref) = refs
     else:
         (w0, w1, w2, w3, w4, w5, w6, w7,
-         b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
-         w_emb, b_mid, w_out, b_out, out_ref) = refs
+         b0, b1, b2, b3, b4, b5, b6, b7, whs, bhs,
+         w_comb, b_comb, w_out, b_out, out_ref) = refs
         wd_row = None
     ws = (w0, w1, w2, w3, w4, w5, w6, w7)
     bs = (b0, b1, b2, b3, b4, b5, b6, b7)
@@ -389,8 +438,8 @@ def _field_kernel_halved(want_normals, mc_ref, g_ref, A_ref, bA_ref,
              for p in range(N_HALVES)]
     for p in range(N_HALVES):
         out = _field_half(parts[p],
-                          g_rep[p * H:(p + 1) * H, :], ipe, ws, bs, wh,
-                          bh, w_emb, b_mid, w_out, b_out, wd_row)
+                          g_rep[p * H:(p + 1) * H, :], ipe, ws, bs, whs,
+                          bhs, w_comb, b_comb, w_out, b_out, wd_row)
         out_ref[p * H:(p + 1) * H, :] = out.astype(jnp.bfloat16)
 
 
@@ -404,6 +453,7 @@ def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
                      interpret: bool = False):
     """Full fused field+mid forward.
 
+    packed: pack_params_v3f operands (fused bottleneck/mid tail).
     mean_cov: (N, 16) fp32; g_bands: (R, 512) fp32 per-ray SH partials
     (4 bands x 128); N = R * samples_per_ray.  -> (N, 128) bf16.
     """
@@ -433,8 +483,7 @@ def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     flops_per_row = 2 * (ENC_PAD * 256 + 3 * 256 * 256 + SKIP_PAD * 256
-                         + 3 * 256 * 256 + 256 * OUT_DIM + 256 * 128
-                         + 128 * 128)
+                         + 3 * 256 * 256 + 2 * 256 * 128 + 128 * 128)
     return pl.pallas_call(
         _kernel_v3,
         grid=grid,
@@ -466,13 +515,13 @@ def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
 V4_DPDM = slice(14, 17)
 
 
-def pack_params_v4(params: Dict[str, Any]):
-    """v3 operands + the density head row as a (1, 256) fp32 operand
+def pack_params_v4f(params: Dict[str, Any]):
+    """v3f operands + the density head row as a (1, 256) fp32 operand
     (slicing a lane column + transposing inside the kernel is
     Mosaic-hostile; precomputing it is free)."""
     wd_row = params["density"]["w"].reshape(1, TRUNK_WIDTH).astype(
         jnp.float32)
-    return pack_params_v3(params) + (wd_row,)
+    return pack_params_v3f(params) + (wd_row,)
 
 
 _kernel_v4 = functools.partial(_field_kernel_halved, True)
@@ -485,7 +534,7 @@ def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
                      interpret: bool = False):
     """v3 forward + fused analytic-normals gradient.
 
-    packed: pack_params_v4 operands.  -> (N, 128) bf16 with the v3
+    packed: pack_params_v4f operands.  -> (N, 128) bf16 with the v3
     layout plus d density_preact/d mean in cols V4_DPDM.
     """
     n = mean_cov.shape[0]
@@ -513,8 +562,7 @@ def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
                                      memory_space=pltpu.VMEM))
     # forward + one dgrad chain ~= 2x the v3 flops
     flops_per_row = 2 * 2 * (ENC_PAD * 256 + 3 * 256 * 256 + SKIP_PAD * 256
-                             + 3 * 256 * 256 + 256 * OUT_DIM + 256 * 128
-                             + 128 * 128)
+                             + 3 * 256 * 256 + 2 * 256 * 128 + 128 * 128)
     return pl.pallas_call(
         _kernel_v4,
         grid=grid,

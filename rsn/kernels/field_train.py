@@ -435,14 +435,15 @@ def fused_field_train(params, mean_cov, g_bands, samples_per_ray,
     cotangent columns, matching the reference where normals are a
     detached regularization target, model.py:250-251).
     """
-    from rsn.kernels.field_pallas import field_forward_v4, pack_params_v4
+    from rsn.kernels.field_pallas import (field_forward_v4,
+                                          pack_params_v3f, pack_params_v4f)
 
     if want_normals:
         # tile stays >= 8*samples_per_ray: the per-ray g_bands block
         # needs >= 8 sublanes (Mosaic tiling constraint)
-        return field_forward_v4(pack_params_v4(params), mean_cov, g_bands,
+        return field_forward_v4(pack_params_v4f(params), mean_cov, g_bands,
                                 samples_per_ray, tile)
-    return field_forward_v3(pack_params_v3(params), mean_cov, g_bands,
+    return field_forward_v3(pack_params_v3f(params), mean_cov, g_bands,
                             samples_per_ray, tile)
 
 

@@ -107,7 +107,7 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
             out = fused_field_train(params, mc, g, S, tile,
                                     training and want_normals)[:R * S]
         else:
-            out = fp.field_forward_v3(fp.pack_params_v3(params), mc, g, S,
+            out = fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, S,
                                       tile)[:R * S]
         out = out.reshape(R, S, fp.V3_OUT)
         preact = out[..., fp.V3_DENSITY:fp.V3_DENSITY + 1].astype(

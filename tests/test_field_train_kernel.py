@@ -85,7 +85,7 @@ def setup():
 
 def test_forward_matches_shadow(setup):
     params, mc, g = setup
-    out_i = fp.field_forward_v3(fp.pack_params_v3(params), mc, g, S,
+    out_i = fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, S,
                                 tile=TILE, interpret=True)
     out_s = shadow(params, mc, g)
     np.testing.assert_allclose(np.asarray(out_i, np.float32),
@@ -156,10 +156,10 @@ def test_backward_v4_matches_v3(setup):
 def test_forward_v4_normals_match_analytic(setup):
     """v4's fused d preact/d mean must match get_analytic_normals."""
     params, mc, g = setup
-    out = fp.field_forward_v4(fp.pack_params_v4(params), mc, g, S,
+    out = fp.field_forward_v4(fp.pack_params_v4f(params), mc, g, S,
                               tile=TILE, interpret=True)
     # v3 columns must be unchanged
-    out3 = fp.field_forward_v3(fp.pack_params_v3(params), mc, g, S,
+    out3 = fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, S,
                                tile=TILE, interpret=True)
     np.testing.assert_allclose(np.asarray(out[:, :14], np.float32),
                                np.asarray(out3[:, :14], np.float32),

@@ -28,6 +28,10 @@ def test_pack_params_shapes():
     packed3 = fp.pack_params_v3(params)
     assert len(packed3) == 22
     assert packed3[18].shape == (256, 128)  # w_emb
+    packed3f = fp.pack_params_v3f(params)
+    assert len(packed3f) == 22
+    assert packed3f[16].shape == (256, 128)  # 11-col heads, padded
+    assert packed3f[18].shape == (256, 128)  # w_comb = W_bneck @ W_emb
 
 
 def test_ipe_matrices_match_reference_encoding():
