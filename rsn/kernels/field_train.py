@@ -47,8 +47,8 @@ from rsn.models.field import SKIP_AT, TRUNK_LAYERS
 N_PACKED = 22  # w0..7, b0..7, wh, bh, w_emb, b_mid, w_out, b_out
 
 
-def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
-                     V_ref, M_ref, *refs):
+def _bwd_kernel_impl(two_d, mc_ref, g_ref, dout_ref, A_ref, bA_ref,
+                     V_ref, M_ref, E_ref, *refs):
     packed = refs[:N_PACKED]
     (w0, w1, w2, w3, w4, w5, w6, w7,
      b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
@@ -76,6 +76,13 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
     bs = (b0, b1, b2, b3, b4, b5, b6, b7)
     ipe = (A_ref[:], bA_ref[:], V_ref[:], M_ref[:])
 
+    # per-ray g bands expand to samples via the one-hot matmul E (same
+    # trick as the forward kernels); dg reduces back per-ray through
+    # E^T on the MXU — the (N, 512) per-sample dg never touches HBM
+    # (its bf16 write + XLA convert/reduce cost ~2.3 ms/step).
+    g_rep = jnp.dot(E_ref[:], g_ref[:],
+                    preferred_element_type=jnp.float32)  # (T, 512)
+
     # interleaved half-tiles (see field_pallas.N_HALVES): both halves'
     # IPE front-ends (VPU transcendentals) are issued upfront so they
     # overlap the first half's MXU recompute; the halves' chains are
@@ -87,15 +94,21 @@ def _bwd_kernel_impl(two_d, mc_ref, grep_ref, dout_ref, A_ref, bA_ref,
     H = T // 2
     parts = [_ipe_parts(mc_ref[p * H:(p + 1) * H, :], ipe)
              for p in range(2)]
+    dg_tot = None
     for p in range(2):
         sl = slice(p * H, (p + 1) * H)
-        dmc, dg, contribs = _bwd_half(
-            parts[p], grep_ref[sl, :], dout_ref[sl, :], ipe, ws, bs,
+        dmc, dg_all, contribs = _bwd_half(
+            parts[p], g_rep[sl, :], dout_ref[sl, :], ipe, ws, bs,
             wh, bh, w_emb, b_mid, w_out, b_out)
         dmc_ref[sl, :] = dmc
-        dg_ref[sl, :] = dg
+        # per-ray reduce: E_half^T @ dg_all -> (rays_per_tile, 512)
+        dgp = jax.lax.dot_general(
+            E_ref[sl, :], dg_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dg_tot = dgp if dg_tot is None else dg_tot + dgp
         for j, c in enumerate(contribs):
             dpacked[j][:] += c
+    dg_ref[:] = dg_tot
 
 
 def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
@@ -103,9 +116,9 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     """Recompute-backward for one half-tile.
 
     parts: the half's precomputed IPE (x, pre_enc, damp).
-    Returns (dmc (H,16) f32, dg (H,512) bf16, contribs[22]) where
-    contribs follow the packed-operand order (w0..7, b0..7, wh, bh,
-    w_emb, b_mid, w_out, b_out).
+    Returns (dmc (H,16) f32, dg_all (H,512) f32 per-sample, contribs[22])
+    where contribs follow the packed-operand order (w0..7, b0..7, wh,
+    bh, w_emb, b_mid, w_out, b_out).
     """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -175,13 +188,13 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     dbneck = jax.lax.dot_general(
         dmid_pre_b, w_emb[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32)
-    # dg: per-ray accumulation via E^T (atten edge wrt rough is DROPPED —
-    # reference detaches roughness into the directional encoding)
+    # dg: per-sample band grads (atten edge wrt rough is DROPPED —
+    # reference detaches roughness into the directional encoding);
+    # ray-reduced by the caller via E^T in f32
     dg_cols = []
     for bi in range(4):
         dg_cols.append(attens[bi] * dmid_pre)
-    dg_all = jnp.concatenate(dg_cols, axis=1)  # (H, 512)
-    dg = dg_all.astype(bf16)  # per-sample; ray-reduced outside
+    dg_all = jnp.concatenate(dg_cols, axis=1)  # (H, 512) f32
 
     # heads backward
     d_heads = jnp.concatenate([
@@ -232,7 +245,7 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
                                preferred_element_type=f32)
            + jax.lax.dot_general(dvar, V, (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32))
-    return dmc, dg, contribs
+    return dmc, dg_all, contribs
 
 
 _bwd_kernel = functools.partial(_bwd_kernel_impl, False)
@@ -245,21 +258,23 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
                       tile: int = DEFAULT_TILE, interpret: bool = False):
     """-> (dmc (N,16), dg (R,512), dpacked tuple matching `packed`).
 
-    The per-ray SH partials are expanded to per-sample bf16 inside
-    (and the dg reduction over samples happens outside the kernel) so
-    the backward can run at tile=512 — the recompute-backward holds
-    ~2x the forward's VMEM working set and does not fit at 1024.
+    The per-ray SH partials enter blocked per-ray and expand to samples
+    in-kernel via the one-hot matmul E; dg reduces back per-ray through
+    E^T in-kernel (the (N, 512) per-sample dg never touches HBM).
     """
     n = mean_cov.shape[0]
     grid = (n // tile,)
+    assert tile % samples_per_ray == 0, (tile, samples_per_ray)
+    rays_per_tile = tile // samples_per_ray
+    n_rays = n // samples_per_ray
     ipe_ops = ipe_matrices()
-    g_rep = jnp.repeat(g_bands, samples_per_ray, axis=0).astype(
-        jnp.bfloat16)  # (N, 512)
+    E = jnp.asarray(np.kron(np.eye(rays_per_tile, dtype=np.float32),
+                            np.ones((samples_per_ray, 1), np.float32)))
 
     in_specs = [
         pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 512), lambda i: (i, 0),
+        pl.BlockSpec((rays_per_tile, 512), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -267,18 +282,20 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
     for m in ipe_ops:
         in_specs.append(pl.BlockSpec(m.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(E.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
     for w in packed:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
     out_shapes = [
         jax.ShapeDtypeStruct((n, IN_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((n, 512), jnp.bfloat16),
+        jax.ShapeDtypeStruct((n_rays, 512), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 512), lambda i: (i, 0),
+        pl.BlockSpec((rays_per_tile, 512), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     for w in packed:  # fp32 accumulators, shapes of the packed operands
@@ -297,13 +314,10 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
         out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_row * n,
-            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2 + 512 * 4),
+            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2) + n_rays * 4096,
             transcendentals=n * 300),
-    )(mean_cov, g_rep, d_out, *ipe_ops, *packed)
-    dmc, dg_samples = res[0], res[1]
-    dg = jnp.sum(dg_samples.astype(jnp.float32).reshape(
-        -1, samples_per_ray, 512), axis=1)
-    return dmc, dg, tuple(res[2:])
+    )(mean_cov, g_bands.astype(jnp.float32), d_out, *ipe_ops, E, *packed)
+    return res[0], res[1], tuple(res[2:])
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
@@ -328,32 +342,39 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
         inner -= 1
     outer = n_tiles // inner
     grid = (outer, inner)
+    assert tile % samples_per_ray == 0, (tile, samples_per_ray)
+    rays_per_tile = tile // samples_per_ray
+    n_rays = n // samples_per_ray
     ipe_ops = ipe_matrices()
-    g_rep = jnp.repeat(g_bands, samples_per_ray, axis=0).astype(
-        jnp.bfloat16)
+    E = jnp.asarray(np.kron(np.eye(rays_per_tile, dtype=np.float32),
+                            np.ones((samples_per_ray, 1), np.float32)))
 
     def row_map(o, i):
         return (o * inner + i, 0)
 
     in_specs = [
         pl.BlockSpec((tile, IN_COLS), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 512), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 512), row_map,
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
     ]
     for m in ipe_ops:
         in_specs.append(pl.BlockSpec(m.shape, lambda o, i: (0, 0),
                                      memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(E.shape, lambda o, i: (0, 0),
+                                 memory_space=pltpu.VMEM))
     for w in packed:
         in_specs.append(pl.BlockSpec(w.shape, lambda o, i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
     out_shapes = [
         jax.ShapeDtypeStruct((n, IN_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((n, 512), jnp.bfloat16),
+        jax.ShapeDtypeStruct((n_rays, 512), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((tile, IN_COLS), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 512), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 512), row_map,
+                     memory_space=pltpu.VMEM),
     ]
     for w in packed:  # per-outer-group fp32 accumulators
         out_shapes.append(
@@ -375,12 +396,10 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_row * n,
-            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2 + 512 * 4),
+            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2) + n_rays * 4096,
             transcendentals=n * 300),
-    )(mean_cov, g_rep, d_out, *ipe_ops, *packed)
-    dmc, dg_samples = res[0], res[1]
-    dg = jnp.sum(dg_samples.astype(jnp.float32).reshape(
-        -1, samples_per_ray, 512), axis=1)
+    )(mean_cov, g_bands.astype(jnp.float32), d_out, *ipe_ops, E, *packed)
+    dmc, dg = res[0], res[1]
     dpacked = tuple(jnp.sum(a, axis=0) for a in res[2:])
     return dmc, dg, dpacked
 
@@ -458,10 +477,11 @@ def _bwd(samples_per_ray, tile, want_normals, res, d_out):
     packed = pack_params_v3(params)
     # the halved kernel body keeps the per-half working set small
     # enough that the recompute-backward fits (and runs ~10% faster)
-    # at tile=1024; 2048 regresses (VMEM pressure)
+    # at tile=1024; 2048 regresses (VMEM pressure).  Lower bound: the
+    # per-ray dg block needs >=8 sublanes (8 rays/tile).
     dmc, dg, dpacked = field_backward_v4(
         packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
-        samples_per_ray, min(tile, 1024))
+        samples_per_ray, max(min(tile, 1024), 8 * samples_per_ray))
     return _unpack_grads(params, dpacked), dmc, dg
 
 

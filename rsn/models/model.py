@@ -94,8 +94,10 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
         # v3 (render) is fastest at tile 2048; the v4 forward and the
         # recompute-backward carry ~2x the live set and prefer 1024
         base_tile = 1024 if training else fp.DEFAULT_TILE
-        tile = S * max(1, base_tile // S)
-        rays_per_tile = tile // S
+        # >=8 rays per tile: the per-ray g_bands blocks (fwd expansion
+        # and bwd dg reduction) need >=8 sublanes (Mosaic constraint)
+        rays_per_tile = max(8, base_tile // S)
+        tile = S * rays_per_tile
         r_pad = -(-R // rays_per_tile) * rays_per_tile
         mc = jnp.concatenate([mean, cov_diag], axis=-1).reshape(R * S, 6)
         mc = jnp.pad(mc, ((0, (r_pad - R) * S), (0, fp.IN_COLS - 6))

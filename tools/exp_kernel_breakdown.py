@@ -51,7 +51,7 @@ def main():
 
     dout = jax.random.normal(jax.random.PRNGKey(2), (n, 128)).astype(
         jnp.bfloat16)
-    for tile, inner in ((512, 8), (1024, 8), (1024, 16)):
+    for tile, inner in ((1024, 8), (1024, 16), (2048, 8)):
         fb = jax.jit(lambda mc, g, dout, t=tile, i=inner: field_backward_v4(
             p3u, mc, g, dout, S, t, i)[0])
         tb = time_fn(fb, mc, g, dout)
