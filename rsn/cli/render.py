@@ -74,10 +74,18 @@ def orbit_cameras(reference_cameras, num_frames: int = 60,
 
 
 def path_cameras(path_file: str, reference_cameras):
-    """Cameras from a camera-path JSON (written by the viewer's `e`
-    export, or hand-authored): {"frames": [{"camera_to_world": 3x4 or
-    4x4}, ...]} with optional top-level fx/fy/cx/cy/width/height
-    (defaults: the dataset's first camera)."""
+    """Cameras from a camera-path JSON.
+
+    Two schemas are accepted:
+    - rsn viewer export (`e` key) or hand-authored:
+      {"frames": [{"camera_to_world": 3x4 or 4x4}, ...]} with optional
+      top-level fx/fy/cx/cy/width/height (defaults: the dataset's first
+      camera);
+    - nerfstudio `ns-render --camera-path-filename` format:
+      {"camera_path": [{"camera_to_world": 16 flat floats,
+      "fov": deg}, ...], "render_height": H, "render_width": W} —
+      so paths authored in the nerfstudio viewer render unchanged.
+    """
     import json
 
     import jax.numpy as jnp
@@ -85,10 +93,26 @@ def path_cameras(path_file: str, reference_cameras):
 
     with open(path_file) as f:
         doc = json.load(f)
+    ref = reference_cameras
+    if "camera_path" in doc and "frames" not in doc:
+        frames = doc["camera_path"]
+        c2w = np.asarray([f["camera_to_world"] for f in frames],
+                         np.float32).reshape(len(frames), 4, 4)[:, :3, :4]
+        n = c2w.shape[0]
+        H = int(doc.get("render_height", ref.height))
+        W = int(doc.get("render_width", ref.width))
+        # nerfstudio camera_path fov = vertical FOV in degrees
+        fovs = np.asarray([float(f.get("fov", 50.0)) for f in frames],
+                          np.float32)
+        fy = H / (2.0 * np.tan(np.radians(fovs) / 2.0))
+        return Cameras(
+            camera_to_worlds=jnp.asarray(c2w),
+            fx=jnp.asarray(fy), fy=jnp.asarray(fy),
+            cx=jnp.full((n,), W / 2.0), cy=jnp.full((n,), H / 2.0),
+            width=W, height=H)
     c2w = np.asarray([f["camera_to_world"] for f in doc["frames"]],
                      np.float32)[:, :3, :4]
     n = c2w.shape[0]
-    ref = reference_cameras
 
     def intr(name, default):
         return jnp.full((n,), float(doc.get(name, default)))

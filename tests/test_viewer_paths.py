@@ -57,6 +57,35 @@ def test_path_cameras_intrinsics_fallback(tmp_path):
     assert loaded.width == 32
 
 
+def test_path_cameras_nerfstudio_schema(tmp_path):
+    """ns-render camera_path.json: flat 4x4 matrices + vertical fov."""
+    cams = _cams()
+    fname = tmp_path / "camera_path.json"
+    m = np.eye(4)
+    m[:3, 3] = [1.0, 2.0, 3.0]
+    doc = {
+        "camera_path": [
+            {"camera_to_world": m.flatten().tolist(), "fov": 60.0},
+            {"camera_to_world": np.eye(4).flatten().tolist(), "fov": 90.0},
+        ],
+        "render_height": 100, "render_width": 200,
+        "seconds": 4.0, "fps": 24,
+    }
+    fname.write_text(json.dumps(doc))
+    loaded = path_cameras(str(fname), cams)
+    assert loaded.num_cameras == 2
+    assert (loaded.width, loaded.height) == (200, 100)
+    # fy = H / (2 tan(fov/2)): 60deg -> 100/(2*tan30) = 86.60;
+    # 90deg -> 50
+    np.testing.assert_allclose(np.asarray(loaded.fy),
+                               [86.6025, 50.0], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(loaded.fx),
+                               np.asarray(loaded.fy))
+    np.testing.assert_allclose(np.asarray(loaded.cx), 100.0)
+    np.testing.assert_allclose(
+        np.asarray(loaded.camera_to_worlds)[0, :, 3], [1.0, 2.0, 3.0])
+
+
 def test_scaled_cameras_quality_levels():
     cams = _cams(w=64, h=48)
     half = viewer_lib._scaled_cameras(cams, 2)
