@@ -179,12 +179,14 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
         cam_model = "perspective"
     elif camera_model == "OPENCV_FISHEYE":
         cam_model = "fisheye"  # Kannala-Brandt theta polynomial (k1-k4)
+    elif camera_model == "EQUIRECTANGULAR":
+        cam_model = "equirectangular"  # intrinsics derived from W/H
     else:
-        # equirectangular etc. need a different projection — failing
-        # loudly beats silently generating wrong rays
+        # unknown projections must fail loudly, not generate wrong rays
         raise NotImplementedError(
             f"camera_model {camera_model!r} is not supported "
-            "(OPENCV/PINHOLE perspective or OPENCV_FISHEYE)")
+            "(OPENCV/PINHOLE perspective, OPENCV_FISHEYE, or "
+            "EQUIRECTANGULAR)")
 
     # pose normalization MUST be computed from ALL frames before the
     # split, or train and eval cameras land in different world frames
@@ -210,13 +212,23 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
         frame = frames[i]
         fname = os.path.join(data_dir, frame["file_path"])
         images.append(_load_image(fname, downscale))
-        fx.append(float(gkey(frame, "fl_x")) / downscale)
-        fy.append(float(gkey(frame, "fl_y")) / downscale)
-        cx.append(float(gkey(frame, "cx")) / downscale)
-        cy.append(float(gkey(frame, "cy")) / downscale)
+        if cam_model != "equirectangular":  # panoramas carry no focals
+            fx.append(float(gkey(frame, "fl_x")) / downscale)
+            fy.append(float(gkey(frame, "fl_y")) / downscale)
+            cx.append(float(gkey(frame, "cx")) / downscale)
+            cy.append(float(gkey(frame, "cy")) / downscale)
         dist.append([float(gkey(frame, k) or 0.0) for k in _DIST_KEYS])
 
     imgs = np.stack(images)
+    if cam_model == "equirectangular":
+        # normalized panorama intrinsics (rsn.data.cameras): azimuth
+        # spans +-pi across the width, polar 0..pi over the height
+        h_, w_ = imgs.shape[1:3]
+        n_sel = len(sel)
+        fx = [w_ / 2.0] * n_sel
+        fy = [float(h_)] * n_sel
+        cx = [w_ / 2.0] * n_sel
+        cy = [h_ / 2.0] * n_sel
     poses_np = all_poses[sel]
     dist_np = np.asarray(dist, np.float32)
     N, H, W = imgs.shape[:3]

@@ -35,8 +35,9 @@ class Cameras:
     # perspective: OpenCV [k1 k2 k3 k4 p1 p2];
     # fisheye: Kannala-Brandt [k1 k2 k3 k4 0 0] (theta polynomial)
     distortion: jax.Array | None = None  # (N, 6)
-    # projection model: "perspective" (pinhole+OpenCV distortion) or
-    # "fisheye" (OPENCV_FISHEYE equidistant, theta-polynomial)
+    # projection model: "perspective" (pinhole+OpenCV distortion),
+    # "fisheye" (OPENCV_FISHEYE equidistant, theta-polynomial), or
+    # "equirectangular" (360 panorama; fx = W/2, fy = H)
     camera_model: str = struct.field(pytree_node=False,
                                      default="perspective")
 
@@ -123,6 +124,18 @@ def _camera_space_dirs(x: jax.Array, y: jax.Array, fx, fy, cx, cy,
     """Unnormalized camera-space directions for pixel-center coords."""
     u = (x - cx) / fx
     v = (y - cy) / fy
+    if camera_model == "equirectangular":
+        # 360 panorama: azimuth theta sweeps +pi..-pi across the width
+        # (u in [-1, 1], loaders set fx = W/2), polar phi sweeps
+        # 0 (up, image top) .. pi (down) over the height (v in
+        # [-1/2, 1/2], fy = H).  Center pixel looks down -z like the
+        # perspective model.
+        theta = -jnp.pi * u
+        phi = jnp.pi * (0.5 + v)
+        sin_phi = jnp.sin(phi)
+        return jnp.stack([-jnp.sin(theta) * sin_phi,
+                          jnp.cos(phi),
+                          -jnp.cos(theta) * sin_phi], axis=-1)
     if camera_model == "fisheye":
         # equidistant projection: pixel radius ~ theta_d; undo the
         # theta polynomial, then r = tan(theta) recovers pinhole coords

@@ -338,9 +338,69 @@ def test_fisheye_loader(tmp_path):
     ds = load_nerfstudio(str(tmp_path), "train", train_fraction=1.0)
     assert ds.cameras.camera_model == "fisheye"
 
-    meta["camera_model"] = "EQUIRECTANGULAR"
+    meta["camera_model"] = "CUBEMAP"  # genuinely unsupported
     with open(tmp_path / "transforms.json", "w") as f:
         json.dump(meta, f)
     import pytest
     with pytest.raises(NotImplementedError):
         load_nerfstudio(str(tmp_path), "train", train_fraction=1.0)
+
+
+def test_equirectangular_directions():
+    """Known pixels of a 360 panorama map to canonical directions."""
+    import jax.numpy as jnp
+    from rsn.data.cameras import Cameras, generate_rays
+
+    W, H = 8, 4
+    eye = jnp.eye(3, 4)
+    cams = Cameras(camera_to_worlds=jnp.broadcast_to(eye, (1, 3, 4)),
+                   fx=jnp.full((1,), W / 2.0), fy=jnp.full((1,), float(H)),
+                   cx=jnp.full((1,), W / 2.0), cy=jnp.full((1,), H / 2.0),
+                   width=W, height=H, camera_model="equirectangular")
+    # pixel CENTERS (generate_rays adds +0.5): pass x-0.5, y-0.5
+    pts = np.array([
+        [W / 2.0, H / 2.0],   # image center -> forward (-z)
+        [0.0, H / 2.0],       # left edge -> behind (+z), theta=+pi
+        [W / 4.0, H / 2.0],   # quarter width -> -x (theta=+pi/2)
+        [W / 2.0, 0.0],       # top center -> up (+y)
+        [W / 2.0, float(H)],  # bottom center -> down (-y)
+    ], np.float32)
+    want = np.array([
+        [0.0, 0.0, -1.0],
+        [0.0, 0.0, 1.0],
+        [-1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.0, -1.0, 0.0],
+    ], np.float32)
+    ci = jnp.zeros((len(pts),), jnp.int32)
+    _, d, area = generate_rays(cams, ci, jnp.asarray(pts[:, 1] - 0.5),
+                               jnp.asarray(pts[:, 0] - 0.5))
+    np.testing.assert_allclose(np.asarray(d), want, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1),
+                               1.0, atol=1e-6)
+    # pixel area degenerates only AT the poles (rows 4/5 here sit
+    # exactly on them; real pixel centers never do)
+    assert np.all(np.asarray(area)[:3] > 0)
+
+
+def test_equirectangular_loader(tmp_path):
+    import json
+    from PIL import Image
+    from rsn.data.blender import load_nerfstudio
+
+    H, W = 8, 16
+    (tmp_path / "images").mkdir(exist_ok=True)
+    frames = []
+    for i in range(3):
+        rel = f"images/p{i}.png"
+        Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(tmp_path / rel)
+        frames.append({"file_path": rel,
+                       "transform_matrix": np.eye(4).tolist()})
+    meta = {"camera_model": "EQUIRECTANGULAR", "frames": frames}
+    (tmp_path / "transforms.json").write_text(json.dumps(meta))
+    ds = load_nerfstudio(str(tmp_path), "train")
+    assert ds.cameras.camera_model == "equirectangular"
+    np.testing.assert_allclose(np.asarray(ds.cameras.fx), W / 2.0)
+    np.testing.assert_allclose(np.asarray(ds.cameras.fy), float(H))
+    np.testing.assert_allclose(np.asarray(ds.cameras.cx), W / 2.0)
+    np.testing.assert_allclose(np.asarray(ds.cameras.cy), H / 2.0)
