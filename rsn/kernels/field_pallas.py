@@ -329,17 +329,49 @@ N_HALVES = 2  # half-tile body: BOTH halves' IPE front-ends (the VPU
 # larger tiles.
 
 
+_INV_2PI = 0.15915494309189535
+_HALF_LOG2E = 0.7213475204444817  # 0.5 / ln 2
+
+
+def _sin2pi(u):
+    """sin(2*pi*u) for wrapped u in [-1/2, 1/2]: odd poly, fp32-exact
+    (max err 4.5e-7).  XLA's exact sin pays Payne-Hanek range reduction
+    on the huge 2^j-scaled IPE arguments (~2x slower, and the fp32
+    argument itself already carries >2*pi of rounding error at the top
+    octaves, so the "exact" phase is equally meaningless there)."""
+    w = u * u
+    p = -12.2688402
+    for c in (41.2037313, -76.5796851, 81.5961385, -41.3414194,
+              6.28318279):
+        p = p * w + c
+    return p * u
+
+
+def _cos2pi(u):
+    """cos(2*pi*u) for wrapped u in [-1/2, 1/2]: even poly, fp32-exact
+    (max err 3.3e-7)."""
+    w = u * u
+    p = 6.52864918
+    for c in (-25.9675931, 60.1676294, -85.4501393, 64.9391175,
+              -19.7392045, 0.999999989):
+        p = p * w + c
+    return p
+
+
 def _ipe_parts(mc, ipe):
-    """In-kernel IPE -> (x bf16, pre_enc f32, damp f32) (the latter two
-    feed the v4 normals-dgrad IPE backward)."""
+    """In-kernel IPE -> (x bf16, pre_enc f32, damp f32, u f32) where u
+    is the wrapped phase in turns (pre_enc/2pi mod 1) — the backward /
+    v4 dgrad chains evaluate sin/cos from it via the cheap polys."""
     f32 = jnp.float32
     A, bA, V, M = ipe
     pre_enc = jnp.dot(mc, A, preferred_element_type=f32) + bA
     var = jnp.dot(mc, V, preferred_element_type=f32)
-    damp = jnp.exp(-0.5 * var)
-    x = (M * (damp * jnp.sin(pre_enc))
+    damp = jnp.exp2(-_HALF_LOG2E * var)  # = exp(-var/2), cheaper
+    u = pre_enc * _INV_2PI
+    u = u - jnp.round(u)
+    x = (M * (damp * _sin2pi(u))
          + (1.0 - M) * pre_enc).astype(jnp.bfloat16)
-    return x, pre_enc, damp
+    return x, pre_enc, damp, u
 
 
 def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
@@ -355,7 +387,7 @@ def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
     """
     f32, bf16 = jnp.float32, jnp.bfloat16
     A, bA, V, M = ipe
-    x, pre_enc, damp = parts
+    x, pre_enc, damp, u = parts
 
     hs = []
     h = x
@@ -404,7 +436,7 @@ def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
         else:
             dh = dinp
     dx = dh + dx_extra
-    dpre_enc = dx * (M * damp * jnp.cos(pre_enc) + (1.0 - M))
+    dpre_enc = dx * (M * damp * _cos2pi(u) + (1.0 - M))
     dmc = jax.lax.dot_general(dpre_enc, A, (((1,), (1,)), ((), ())),
                               preferred_element_type=f32)
     zeros = jnp.zeros((x.shape[0], V3_OUT - 17), f32)

@@ -126,8 +126,9 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     contribs = [None] * N_PACKED
 
     # ---- forward recompute (keep activations in VMEM) ----
-    x, pre_enc, damp = parts
-    sin_pre = jnp.sin(pre_enc)
+    from rsn.kernels.field_pallas import _cos2pi, _sin2pi
+    x, pre_enc, damp, u = parts
+    sin_pre = _sin2pi(u)
 
     hs = []  # post-relu activations, bf16
     h = x
@@ -238,7 +239,7 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     dx = dh + (dx_extra if dx_extra is not None else 0.0)  # (H, 128) f32
 
     # IPE backward: x = M*(damp*sin(pre)) + (1-M)*pre
-    cos_pre = jnp.cos(pre_enc)
+    cos_pre = _cos2pi(u)
     dpre_enc = dx * (M * damp * cos_pre + (1.0 - M))
     dvar = dx * M * (-0.5) * damp * sin_pre
     dmc = (jax.lax.dot_general(dpre_enc, A, (((1,), (1,)), ((), ())),
