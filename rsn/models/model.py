@@ -91,9 +91,11 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
         from rsn.kernels import field_pallas as fp
 
         R, S = mean.shape[0], mean.shape[1]
-        # v3 (render) is fastest at tile 2048; the v4 forward and the
-        # recompute-backward carry ~2x the live set and prefer 1024
-        base_tile = 1024 if training else fp.DEFAULT_TILE
+        # v3 (render) is fastest at tile 4096, the v4 forward at 2048
+        # (tools/exp_halves_tile.py min-of-3 sweep); the recompute-
+        # backward carries ~3x the live set and clamps itself to 1024
+        # inside fused_field_train._bwd
+        base_tile = 2048 if training else 4096
         # >=8 rays per tile: the per-ray g_bands blocks (fwd expansion
         # and bwd dg reduction) need >=8 sublanes (Mosaic constraint)
         rays_per_tile = max(8, base_tile // S)
