@@ -84,3 +84,47 @@ def test_field_forward_matches_xla_on_tpu():
     _, _, preact = field_lib.get_density(params, mean, cd, fcfg)
     np.testing.assert_allclose(np.asarray(h["density_preact"]),
                                np.asarray(preact), atol=5e-3)
+
+
+def test_poly_sincos_and_exp2_damp_accuracy():
+    """The in-kernel frac+poly sin/cos (turns domain) and exp2 damping
+    must be fp32-exact: max err ~5e-7 over a full period, and for large
+    2^j-scaled IPE arguments must agree with exact sin of the SAME fp32
+    argument to within that argument's own representation error."""
+    u = jnp.linspace(-0.5, 0.5, 4097)
+    np.testing.assert_allclose(np.asarray(fp._sin2pi(u)),
+                               np.sin(2 * np.pi * np.asarray(u, np.float64)),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fp._cos2pi(u)),
+                               np.cos(2 * np.pi * np.asarray(u, np.float64)),
+                               atol=1e-6)
+    # damp: exp2(-var/(2 ln2)) == exp(-var/2)
+    var = jnp.asarray([0.0, 0.1, 1.0, 10.0, 80.0])
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp2(-fp._HALF_LOG2E * var)),
+        np.exp(-0.5 * np.asarray(var, np.float64)), rtol=1e-6)
+    # moderate 2^j-scaled args (phase still representable in fp32):
+    # frac+poly tracks exact sin
+    t = jax.random.normal(jax.random.PRNGKey(0), (4096,)) * 256.0
+    uu = t * fp._INV_2PI
+    uu = uu - jnp.round(uu)
+    np.testing.assert_allclose(np.asarray(fp._sin2pi(uu)),
+                               np.asarray(jnp.sin(t)), atol=2e-4)
+
+
+def test_ipe_parts_matches_exact_reference():
+    """_ipe_parts (poly path) vs the exact-sin/exp IPE on in-range
+    blob stats: the bf16 x output must agree to bf16 resolution."""
+    A, bA, V, M = fp.ipe_matrices()
+    key = jax.random.PRNGKey(3)
+    mean = jax.random.normal(key, (512, 3)) * 0.5
+    cov = jnp.abs(jax.random.normal(key, (512, 3))) * 1e-2
+    mc = jnp.pad(jnp.concatenate([mean, cov], -1),
+                 ((0, 0), (0, fp.IN_COLS - 6))).astype(jnp.float32)
+    x, pre_enc, damp, u = fp._ipe_parts(mc, (A, bA, V, M))
+    pre = mc @ A + bA
+    var = mc @ V
+    exact = (M * (jnp.exp(-0.5 * var) * jnp.sin(pre))
+             + (1.0 - M) * pre)
+    np.testing.assert_allclose(np.asarray(x, np.float32),
+                               np.asarray(exact), atol=2e-2, rtol=2e-2)
