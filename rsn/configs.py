@@ -171,6 +171,12 @@ class TrainerConfig:
     # parallelism: number of devices for the data mesh axis (0 = all)
     num_devices: int = 0
     steps_per_log: int = 10
+    # steps fused into ONE device dispatch (lax.fori_loop inside jit),
+    # capped by the distance to the next log/eval/save event.  Amortizes
+    # per-dispatch host latency — essential on tunneled/remote TPU
+    # backends where each dispatch pays a network RTT.  1 restores
+    # step-at-a-time dispatch (forced when debug_nans is set).
+    steps_per_dispatch: int = 100
     viewer_num_rays_per_chunk: int = 1 << 10
     # --- observability (SURVEY.md §5.1/§5.2: replaces the reference's
     # unconditional host-sync prints and the near-dead NaN tripwire) ---

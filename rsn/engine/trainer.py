@@ -275,11 +275,29 @@ class Trainer:
                 images, cameras = data
                 return train_step(state, images, cameras, key,
                                   axis_name=axis_name)
-            self._step_fn = self._make_sharded(per_device)
+            step_traceable = self._make_sharded(per_device, jit=False)
         else:
-            self._step_fn = jax.jit(
-                lambda s, images, cameras, k: train_step(
-                    s, images, cameras, k))
+            step_traceable = (lambda s, images, cameras, k: train_step(
+                s, images, cameras, k))
+        self._step_fn = jax.jit(step_traceable)
+
+        # n steps in ONE dispatch (lax.fori_loop): per-step PRNG keys
+        # come from fold_in(key, state.step) inside train_step, so the
+        # sample stream is IDENTICAL to step-at-a-time dispatch.
+        def multi(state, images, cameras, key, n):
+            m_shapes = jax.eval_shape(
+                lambda s: step_traceable(s, images, cameras, key)[1],
+                state)
+            init_m = jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), m_shapes)
+
+            def body(_, carry):
+                s, _m = carry
+                return step_traceable(s, images, cameras, key)
+
+            return jax.lax.fori_loop(0, n, body, (state, init_m))
+
+        self._multi_step_fn = jax.jit(multi)
 
         params = field_lib.init_field_params(
             jax.random.PRNGKey(config.seed))
@@ -320,7 +338,7 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         self._eval_image_cursor = 0
 
-    def _make_sharded(self, per_device):
+    def _make_sharded(self, per_device, jit: bool = True):
         from jax.sharding import PartitionSpec as P
         mesh = self.mesh
 
@@ -335,7 +353,7 @@ class Trainer:
                 in_specs=(P(), P(), P(), P()),
                 out_specs=(P(), P()),
                 check_vma=False)(state, images, cameras, key)
-        return jax.jit(wrapped)
+        return jax.jit(wrapped) if jit else wrapped
 
     def restore(self, load_dir: str) -> None:
         path = ckpt_lib.latest_checkpoint(load_dir)
@@ -400,6 +418,28 @@ class Trainer:
             save_png(os.path.join(img_dir, f"{step:09d}-{name}.png"), img)
         return m
 
+    def _next_chunk(self, step: int, max_steps: int) -> int:
+        """Steps to fuse into the next dispatch: distance to the nearest
+        log/eval/save/profile boundary, capped by steps_per_dispatch
+        (1 under debug_nans — jax_debug_nans needs per-step dispatch)."""
+        cfg = self.config
+        cap = max(1, cfg.steps_per_dispatch)
+        if cfg.debug_nans:
+            cap = 1
+        cadences = [cfg.steps_per_log, cfg.steps_per_eval_batch,
+                    cfg.steps_per_eval_image, cfg.steps_per_save]
+        nxt = max_steps
+        for c in cadences:
+            if c > 0:
+                nxt = min(nxt, (step // c + 1) * c)
+        if cfg.profile_dir:
+            for boundary in (cfg.profile_start_step,
+                             cfg.profile_start_step
+                             + cfg.profile_num_steps):
+                if boundary > step:
+                    nxt = min(nxt, boundary)
+        return min(cap, nxt - step)
+
     def train(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
         max_steps = max_steps or cfg.max_num_iterations
@@ -409,52 +449,59 @@ class Trainer:
         t0 = time.time()
         start = int(self.state.step)
         profiling = False
-        for step in range(start, max_steps):
+        first = True
+        step = start
+        while step < max_steps:
             if cfg.profile_dir and step == cfg.profile_start_step:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
-            self.state, metrics = self._step_fn(
-                self.state, self.images, self.cameras,
-                jax.random.fold_in(key, step))
-            if profiling and step == (cfg.profile_start_step
+            chunk = self._next_chunk(step, max_steps)
+            # per-step PRNG keys derive from state.step inside the jitted
+            # loop — the sample stream is chunking-invariant
+            self.state, metrics = self._multi_step_fn(
+                self.state, self.images, self.cameras, key,
+                jnp.int32(chunk))
+            step += chunk
+            if profiling and step >= (cfg.profile_start_step
                                       + cfg.profile_num_steps):
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
                 profiling = False
-            if (step + 1) % cfg.steps_per_log == 0 or step == 0:
+            if step % cfg.steps_per_log == 0 or first:
+                first = False
                 # one bulk device_get (each float() would pay a full
                 # host round trip — ~90 ms on tunneled backends)
                 metrics = jax.device_get(metrics)
                 metrics = {k: float(v) for k, v in metrics.items()}
                 if not cfg.debug_telemetry:
                     metrics.pop("mask_fraction", None)
-                rays = (step + 1 - start) * \
+                rays = (step - start) * \
                     cfg.pipeline.datamanager.train_num_rays_per_batch * \
                     max(self.num_devices, 1)
                 dt = time.time() - t0
                 line = {"rays_per_sec": rays / dt, **metrics}
-                self._log(step + 1, line)
-                print(f"step {step+1}: loss={metrics['total_loss']:.4f} "
+                self._log(step, line)
+                print(f"step {step}: loss={metrics['total_loss']:.4f} "
                       f"({rays/dt:,.0f} rays/s)", flush=True)
                 last_metrics = metrics
-            if (step + 1) % cfg.steps_per_eval_batch == 0:
+            if step % cfg.steps_per_eval_batch == 0:
                 em = jax.device_get(self._eval_step_fn(
                     self.state, self.eval_images, self.eval_ds.cameras,
                     jax.random.fold_in(eval_key, step)))
-                self._log(step + 1, {k: float(v) for k, v in em.items()})
-            if (step + 1) % cfg.steps_per_eval_image == 0:
-                m = self._eval_image(step + 1)
-                self._log(step + 1,
+                self._log(step, {k: float(v) for k, v in em.items()})
+            if step % cfg.steps_per_eval_image == 0:
+                m = self._eval_image(step)
+                self._log(step,
                           {f"eval_image_{k}": v for k, v in m.items()})
-                print(f"step {step+1}: eval image psnr={m['psnr']:.2f}",
+                print(f"step {step}: eval image psnr={m['psnr']:.2f}",
                       flush=True)
-            if (step + 1) % cfg.steps_per_save == 0 or step + 1 == max_steps:
+            if step % cfg.steps_per_save == 0 or step == max_steps:
                 extra = {
                     name: getattr(self.state, name)
                     for name in ("camera", "camera_opt_state", "proposal",
                                  "proposal_opt_state")
                     if getattr(self.state, name) is not None}
-                ckpt_lib.save_checkpoint(self.ckpt_dir, step + 1,
+                ckpt_lib.save_checkpoint(self.ckpt_dir, step,
                                          self.state.params,
                                          self.state.opt_state,
                                          extra or None)

@@ -39,9 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rsn.kernels.field_pallas import (DEFAULT_TILE, ENC_PAD, IN_COLS,
                                       OUT_DIM, SKIP_PAD, V3_OUT,
-                                      field_forward_v3,
-                                      ipe_matrices, pack_params_v3,
-                                      _BAND_KS)
+                                      _BAND_KS, _cos2pi, _ipe_parts,
+                                      _sin2pi, field_forward_v3,
+                                      ipe_matrices, pack_params_v3)
 from rsn.models.field import SKIP_AT, TRUNK_LAYERS
 
 N_PACKED = 22  # w0..7, b0..7, wh, bh, w_emb, b_mid, w_out, b_out
@@ -88,8 +88,6 @@ def _bwd_kernel_impl(two_d, mc_ref, g_ref, dout_ref, A_ref, bA_ref,
     # overlap the first half's MXU recompute; the halves' chains are
     # otherwise data-independent and only the wgrad accumulates
     # serialize.
-    from rsn.kernels.field_pallas import _ipe_parts
-
     T = mc_ref.shape[0]
     H = T // 2
     parts = [_ipe_parts(mc_ref[p * H:(p + 1) * H, :], ipe)
@@ -126,7 +124,6 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     contribs = [None] * N_PACKED
 
     # ---- forward recompute (keep activations in VMEM) ----
-    from rsn.kernels.field_pallas import _cos2pi, _sin2pi
     x, pre_enc, damp, u = parts
     sin_pre = _sin2pi(u)
 

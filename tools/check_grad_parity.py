@@ -19,8 +19,7 @@ import jax.numpy as jnp
 
 from rsn.configs import TrainerConfig
 from rsn.data.synthetic import make_synthetic_dataset
-from rsn.engine.trainer import (TrainState, loss_coefficients_traced,
-                                sample_pixel_batch)
+from rsn.engine.trainer import loss_coefficients_traced, sample_pixel_batch
 from rsn.models import field as field_lib
 from rsn.models import model as model_lib
 

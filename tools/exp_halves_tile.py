@@ -32,21 +32,23 @@ def main():
 
     import sys
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    for halves, tile in ((1, 2048), (2, 2048), (2, 4096), (4, 2048),
-                         (4, 4096)):
-        fp.N_HALVES = halves
-        jax.clear_caches()
-        f3 = jax.jit(lambda mc, g, t=tile: fp.field_forward_v3(
-            p3, mc, g, S, t))
-        t3s = [time_fn(f3, mc, g) for _ in range(reps)]
-        f4 = jax.jit(lambda mc, g, t=tile: fp.field_forward_v4(
-            p4, mc, g, S, t))
-        t4s = [time_fn(f4, mc, g) for _ in range(reps)]
-        t3, t4 = min(t3s), min(t4s)
-        print(f"halves={halves} tile={tile}: "
-              f"v3 {t3*1e3:5.2f} ms ({n*FL/t3/1e12:5.1f}) | "
-              f"v4 {t4*1e3:5.2f} ms ({2*n*FL/t4/1e12:5.1f})")
-    fp.N_HALVES = 2
+    try:
+        for halves, tile in ((1, 2048), (2, 2048), (2, 4096), (4, 2048),
+                             (4, 4096)):
+            fp.N_HALVES = halves
+            jax.clear_caches()
+            f3 = jax.jit(lambda mc, g, t=tile: fp.field_forward_v3(
+                p3, mc, g, S, t))
+            t3s = [time_fn(f3, mc, g) for _ in range(reps)]
+            f4 = jax.jit(lambda mc, g, t=tile: fp.field_forward_v4(
+                p4, mc, g, S, t))
+            t4s = [time_fn(f4, mc, g) for _ in range(reps)]
+            t3, t4 = min(t3s), min(t4s)
+            print(f"halves={halves} tile={tile}: "
+                  f"v3 {t3*1e3:5.2f} ms ({n*FL/t3/1e12:5.1f}) | "
+                  f"v4 {t4*1e3:5.2f} ms ({2*n*FL/t4/1e12:5.1f})")
+    finally:
+        fp.N_HALVES = 2
 
 
 if __name__ == "__main__":
