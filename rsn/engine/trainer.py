@@ -177,6 +177,9 @@ def make_eval_batch_step(config: TrainerConfig):
     return eval_step
 
 
+_RENDER_ALL_CACHE: Dict[Any, Any] = {}
+
+
 def render_image(params, cameras: Cameras, camera_index: int,
                  config: TrainerConfig, key: Optional[jax.Array] = None,
                  mesh=None, prop_params=None) -> Dict[str, np.ndarray]:
@@ -210,32 +213,54 @@ def render_image(params, cameras: Cameras, camera_index: int,
                 "roughness")
         return {k: out[k] for k in keep}
 
+    # the WHOLE image renders in ONE dispatch: chunks iterate inside jit
+    # via lax.map (sequential, VMEM-bounded), and only the finished
+    # image crosses the host boundary — per-chunk dispatch/transfer
+    # costs a full tunnel round trip (~40-90 ms) on remote backends
     params = (params, prop_params)
-    if mesh is not None:
-        fn = mesh_lib.shard_render(render_chunk, mesh)
-        params = jax.device_put(params, mesh_lib.replicated(mesh))
-        shard = mesh_lib.batch_sharding(mesh)
-    else:
-        fn = jax.jit(render_chunk)
-        shard = None
+    n_chunks = -(-total // chunk)
+    pad_total = n_chunks * chunk
 
-    results = []
-    for lo in range(0, total, chunk):
-        hi = min(lo + chunk, total)
-        pad = chunk - (hi - lo)
-        def sl(x):
-            padded = jnp.pad(x[lo:hi], ((0, pad),) + ((0, 0),) *
-                             (x.ndim - 1))
-            return jax.device_put(padded, shard) if shard else padded
-        out = fn(params, (sl(origins), sl(dirs), sl(pixel_area)),
-                 jax.random.fold_in(key, lo))
-        # keep chunks on device: a host transfer per chunk costs a full
-        # tunnel round trip (~90 ms) on remote backends
-        results.append(jax.tree.map(lambda x: x[:hi - lo], out))
-    stacked = jax.device_get({
-        k: jnp.concatenate([r[k] for r in results], axis=0)
-        for k in results[0]})
-    return {k: np.asarray(v).reshape(H, W, -1) for k, v in stacked.items()}
+    def pad_chunked(x):
+        p = jnp.pad(x, ((0, pad_total - total),) + ((0, 0),) *
+                    (x.ndim - 1))
+        return p.reshape((n_chunks, chunk) + p.shape[1:])
+
+    o = pad_chunked(origins)
+    d = pad_chunked(dirs)
+    pa = pad_chunked(pixel_area)
+    # per-chunk keys match the historical fold_in(key, row_offset)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i * chunk))(
+        jnp.arange(n_chunks))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        inner = jax.shard_map(
+            render_chunk, mesh=mesh,
+            in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
+            out_specs=P(mesh_lib.DATA_AXIS), check_vma=False)
+        params = jax.device_put(params, mesh_lib.replicated(mesh))
+        shard = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+        o, d, pa = (jax.device_put(x, shard) for x in (o, d, pa))
+    else:
+        inner = render_chunk
+
+    # cache the jitted whole-image program across calls (a fresh jit
+    # wrapper per call would re-trace for every image)
+    cache_key = (repr(mcfg), chunk, n_chunks, mesh is None,
+                 prop_params is None)
+    render_all = _RENDER_ALL_CACHE.get(cache_key)
+    if render_all is None:
+        @jax.jit
+        def render_all(params, o, d, pa, keys, _inner=inner):
+            return jax.lax.map(
+                lambda xs: _inner(params, (xs[0], xs[1], xs[2]), xs[3]),
+                (o, d, pa, keys))
+        _RENDER_ALL_CACHE[cache_key] = render_all
+
+    stacked = jax.device_get(render_all(params, o, d, pa, keys))
+    return {k: np.asarray(v).reshape(pad_total, -1)[:total].reshape(
+        H, W, -1) for k, v in stacked.items()}
 
 
 class Trainer:

@@ -47,3 +47,26 @@ def test_smoke_train_synthetic():
     psnr1 = float(metrics_lib.psnr(jnp.asarray(out1["mid_rgb_fine"]), gt))
     assert psnr1 > psnr0 + 0.5, (psnr0, psnr1)
     assert psnr1 > 9.0, psnr1  # ~9.5 after 150 steps; climbs with steps
+
+
+def test_render_image_sharded_matches_single_device():
+    """Whole-image fused render (lax.map inside one dispatch) over the
+    8-fake-device mesh must match the single-device render: rays shard
+    over `data`, no collectives, values identical up to fp32 reassoc."""
+    from rsn.parallel import mesh as mesh_lib
+
+    cfg = TrainerConfig(pipeline=PipelineConfig(
+        datamanager=DataManagerConfig(dataparser="synthetic"),
+        model=ModelConfig(num_coarse_samples=8, num_importance_samples=8,
+                          num_reflect_coarse_samples=4,
+                          num_reflect_importance_samples=4,
+                          eval_num_rays_per_chunk=32)))
+    ds = make_synthetic_dataset(num_cameras=2, H=16, W=16)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    single = render_image(params, ds.cameras, 0, cfg)
+    mesh = mesh_lib.make_mesh(8)
+    sharded = render_image(params, ds.cameras, 0, cfg, mesh=mesh)
+    assert single.keys() == sharded.keys()
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k], atol=1e-5,
+                                   rtol=1e-4, err_msg=k)
