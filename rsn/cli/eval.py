@@ -27,7 +27,7 @@ from rsn import metrics as metrics_lib
 def evaluate(params, dataset, config, mesh=None,
              max_images=None, prop_params=None) -> Dict[str, float]:
     import jax.numpy as jnp
-    from rsn.engine.trainer import render_image
+    from rsn.engine.trainer import preferred_eval_chunk, render_image
 
     per_image = []
     n = dataset.cameras.num_cameras if max_images is None else min(
@@ -37,7 +37,8 @@ def evaluate(params, dataset, config, mesh=None,
     report_coarse = not config.pipeline.model.use_proposal
     for i in range(n):
         out = render_image(params, dataset.cameras, i, config, mesh=mesh,
-                           prop_params=prop_params)
+                           prop_params=prop_params,
+                           rays_per_chunk=preferred_eval_chunk(config))
         gt = dataset.images[i]
         fine = np.clip(out["mid_reflect_fine"], 0, 1)
         m = {

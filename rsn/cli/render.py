@@ -145,7 +145,7 @@ def main(argv=None) -> int:
 
     from rsn.cli.run_io import load_run_full
     from rsn.data.blender import load_dataset
-    from rsn.engine.trainer import render_image
+    from rsn.engine.trainer import preferred_eval_chunk, render_image
     from rsn.parallel import mesh as mesh_lib
 
     params, config, step, extras = load_run_full(ns.load_dir)
@@ -171,7 +171,8 @@ def main(argv=None) -> int:
             cams.num_cameras, ns.max_images)
         for i in range(n):
             out = render_image(params, cams, i, config, mesh=mesh,
-                               prop_params=extras.get("proposal"))
+                               prop_params=extras.get("proposal"),
+                               rays_per_chunk=preferred_eval_chunk(config))
             save_png(os.path.join(out_dir, f"frame_{i:05d}.png"),
                      np.clip(out["mid_reflect_fine"], 0, 1))
             print(f"rendered {i+1}/{n}", flush=True)
@@ -183,7 +184,8 @@ def main(argv=None) -> int:
         n = min(n, ns.max_images)
     for i in range(n):
         out = render_image(params, dataset.cameras, i, config, mesh=mesh,
-                           prop_params=extras.get("proposal"))
+                           prop_params=extras.get("proposal"),
+                           rays_per_chunk=preferred_eval_chunk(config))
         panels = render_panels(out, dataset.images[i],
                                mcfg.collider_near_plane,
                                mcfg.collider_far_plane)

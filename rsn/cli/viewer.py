@@ -131,7 +131,7 @@ def _render_pose(theta: float, phi: float, r: float, mode: str,
     from PIL import Image
 
     from rsn.data.cameras import Cameras
-    from rsn.engine.trainer import render_image
+    from rsn.engine.trainer import preferred_eval_chunk, render_image
     from rsn.cli.render import apply_depth_colormap
 
     pose = _pose_matrix(theta, phi, r)
@@ -143,7 +143,9 @@ def _render_pose(theta: float, phi: float, r: float, mode: str,
         width=ref.width, height=ref.height)
     with _State.lock:  # one render at a time (single chip)
         out = render_image(_State.params, cams, 0, _State.config,
-                           prop_params=_State.proposal)
+                           prop_params=_State.proposal,
+                           rays_per_chunk=preferred_eval_chunk(
+                               _State.config))
     mcfg = _State.config.pipeline.model
     if mode == "depth":
         img = apply_depth_colormap(out["depth_fine"],

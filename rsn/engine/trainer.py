@@ -180,15 +180,30 @@ def make_eval_batch_step(config: TrainerConfig):
 _RENDER_ALL_CACHE: Dict[Any, Any] = {}
 
 
+def preferred_eval_chunk(config: TrainerConfig) -> int:
+    """Rays/chunk for offline eval/render: the reference default (1024,
+    config.py:41) is a GPU-viewer memory knob; TPU kernels want >=16k
+    rays in flight to fill the MXU pipeline.  Results are chunk-size
+    invariant (eval-mode sampling is deterministic per ray; tested in
+    test_render_image_sharded_matches_single_device), so this is purely
+    a throughput/memory trade."""
+    chunk = config.pipeline.model.eval_num_rays_per_chunk
+    if jax.default_backend() != "cpu":
+        chunk = max(chunk, 16384)
+    return chunk
+
+
 def render_image(params, cameras: Cameras, camera_index: int,
                  config: TrainerConfig, key: Optional[jax.Array] = None,
-                 mesh=None, prop_params=None) -> Dict[str, np.ndarray]:
+                 mesh=None, prop_params=None,
+                 rays_per_chunk: Optional[int] = None
+                 ) -> Dict[str, np.ndarray]:
     """Chunked full-image render (inherited get_outputs_for_camera_ray_
     bundle semantics, SURVEY.md §3.3), optionally sharded over a mesh."""
     from rsn.data.cameras import generate_image_rays
 
     mcfg = config.pipeline.model
-    chunk = mcfg.eval_num_rays_per_chunk
+    chunk = rays_per_chunk or mcfg.eval_num_rays_per_chunk
     if mesh is not None:
         chunk *= mesh.devices.size
     H, W = cameras.height, cameras.width
