@@ -367,7 +367,17 @@ def get_inf_color(params: Params, directions: jax.Array,
     directional encoding (reference field.py:190-201).  Only the cov
     diagonal 0.6*sqradius*(1 - d*d) feeds the IPE (factored layout)."""
     mean = 2.0 * directions
-    cov_diag = 0.6 * sqradius * (1.0 - directions * directions)
+    # relu: normalize() can round |d| to 1 + 1e-7, making 1 - d_i^2
+    # slightly NEGATIVE on the dominant axis; a negative variance turns
+    # the IPE damping exp(-4^j var/2) into exp(+hundreds) = inf at the
+    # top octaves and NaN-poisons the whole optimizer state (observed
+    # at train step 15036 of a 30k proposal run).  cov = 0.6 s (I-ddT)
+    # is PSD in exact math, so clamping only removes rounding noise —
+    # the same ReLU the contraction applies to its cov diagonal
+    # (reference field.py:114-115; the reference does NOT clamp HERE,
+    # field.py:195-196, and torch.exp overflows identically — latent
+    # upstream hazard, see PARITY.md).
+    cov_diag = 0.6 * sqradius * jax.nn.relu(1.0 - directions * directions)
     _, emb, _ = get_density(params, mean, cov_diag, cfg)
     return get_low(params, emb, True, cfg)
 

@@ -130,3 +130,19 @@ def test_bf16_trunk_close_to_fp32():
     assert d16.dtype == jnp.float32  # fp32 accumulation preserved
     np.testing.assert_allclose(np.asarray(d32), np.asarray(d16), rtol=0.1,
                                atol=0.05)
+
+
+def test_inf_color_finite_when_direction_norm_rounds_above_one():
+    """normalize() can round a unit direction to |d| = 1 + ~1e-7; the
+    env-lookup cov 0.6*s*(1 - d^2) then goes negative on the dominant
+    axis and the IPE damping exp(-4^j var/2) explodes to inf at the top
+    octaves (observed NaN collapse at step 15036 of a 30k proposal
+    run).  get_inf_color must relu-clamp the constructed diagonal (the
+    reference does not, field.py:195-196 — latent upstream hazard)."""
+    params = F.init_field_params(jax.random.PRNGKey(0))
+    d = jnp.asarray([[2.0519206e-04, 1.0000001, -7.6681587e-05],
+                     [0.0, -1.0000001, 0.0],
+                     [0.57735032, 0.57735032, 0.57735032]])
+    s = jnp.asarray([[0.8792128], [1.5], [0.0]])
+    out = F.get_inf_color(params, d, s)
+    assert bool(jnp.isfinite(out).all()), out
