@@ -261,11 +261,16 @@ def render_image(params, cameras: Cameras, camera_index: int,
         inner = render_chunk
 
     # cache the jitted whole-image program across calls (a fresh jit
-    # wrapper per call would re-trace for every image)
-    cache_key = (repr(mcfg), chunk, n_chunks, mesh is None,
+    # wrapper per call would re-trace for every image); keyed on the
+    # mesh's device set, not just its presence
+    mesh_key = None if mesh is None else (
+        tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+    cache_key = (repr(mcfg), chunk, n_chunks, mesh_key,
                  prop_params is None)
     render_all = _RENDER_ALL_CACHE.get(cache_key)
     if render_all is None:
+        if len(_RENDER_ALL_CACHE) > 16:  # bound compiled-program memory
+            _RENDER_ALL_CACHE.pop(next(iter(_RENDER_ALL_CACHE)))
         @jax.jit
         def render_all(params, o, d, pa, keys, _inner=inner):
             return jax.lax.map(
@@ -319,7 +324,6 @@ class Trainer:
         else:
             step_traceable = (lambda s, images, cameras, k: train_step(
                 s, images, cameras, k))
-        self._step_fn = jax.jit(step_traceable)
 
         # n steps in ONE dispatch (lax.fori_loop): per-step PRNG keys
         # come from fold_in(key, state.step) inside train_step, so the
@@ -335,6 +339,11 @@ class Trainer:
                 s, _m = carry
                 return step_traceable(s, images, cameras, key)
 
+            # n is TRACED (dynamic-trip while_loop): chunk sizes vary
+            # per call (cap + boundary remainders) and a static n would
+            # recompile the whole step per distinct value.  Shapes stay
+            # fixed; only the trip count is dynamic — a deliberate
+            # exception to the fixed-control-flow convention.
             return jax.lax.fori_loop(0, n, body, (state, init_m))
 
         self._multi_step_fn = jax.jit(multi)
@@ -433,6 +442,7 @@ class Trainer:
         self._eval_image_cursor += 1
         out = render_image(self.state.params, self.eval_ds.cameras, idx,
                            self.config,
+                           rays_per_chunk=preferred_eval_chunk(self.config),
                            mesh=self.mesh if self.num_devices > 1 else None,
                            prop_params=self.state.proposal)
         gt = self.eval_ds.images[idx]
@@ -507,7 +517,8 @@ class Trainer:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
                 profiling = False
-            if step % cfg.steps_per_log == 0 or first:
+            hit = lambda c: c > 0 and step % c == 0
+            if hit(cfg.steps_per_log) or first:
                 first = False
                 # one bulk device_get (each float() would pay a full
                 # host round trip — ~90 ms on tunneled backends)
@@ -524,18 +535,18 @@ class Trainer:
                 print(f"step {step}: loss={metrics['total_loss']:.4f} "
                       f"({rays/dt:,.0f} rays/s)", flush=True)
                 last_metrics = metrics
-            if step % cfg.steps_per_eval_batch == 0:
+            if hit(cfg.steps_per_eval_batch):
                 em = jax.device_get(self._eval_step_fn(
                     self.state, self.eval_images, self.eval_ds.cameras,
                     jax.random.fold_in(eval_key, step)))
                 self._log(step, {k: float(v) for k, v in em.items()})
-            if step % cfg.steps_per_eval_image == 0:
+            if hit(cfg.steps_per_eval_image):
                 m = self._eval_image(step)
                 self._log(step,
                           {f"eval_image_{k}": v for k, v in m.items()})
                 print(f"step {step}: eval image psnr={m['psnr']:.2f}",
                       flush=True)
-            if step % cfg.steps_per_save == 0 or step == max_steps:
+            if hit(cfg.steps_per_save) or step == max_steps:
                 extra = {
                     name: getattr(self.state, name)
                     for name in ("camera", "camera_opt_state", "proposal",

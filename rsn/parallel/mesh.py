@@ -36,10 +36,6 @@ def make_mesh(num_devices: int = 0) -> Mesh:
                          devices=devices)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DATA_AXIS))
-
-
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -82,12 +78,3 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
     return jax.jit(mapped, donate_argnums=donate), num
 
 
-def shard_render(render_chunk: Callable, mesh: Mesh) -> Callable:
-    """Data-parallel full-image render: rays shard over `data`,
-    outputs gather (no collectives in the hot path)."""
-    mapped = jax.shard_map(
-        render_chunk, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
-        out_specs=P(DATA_AXIS),
-        check_vma=False)
-    return jax.jit(mapped)
