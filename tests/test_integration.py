@@ -70,3 +70,24 @@ def test_render_image_sharded_matches_single_device():
     for k in single:
         np.testing.assert_allclose(sharded[k], single[k], atol=1e-5,
                                    rtol=1e-4, err_msg=k)
+
+
+def test_render_image_chunk_size_invariant():
+    """preferred_eval_chunk's contract: the rendered image must not
+    depend on rays/chunk (eval-mode sampling is deterministic per ray;
+    chunking only changes batching/padding)."""
+    cfg = TrainerConfig(pipeline=PipelineConfig(
+        datamanager=DataManagerConfig(dataparser="synthetic"),
+        model=ModelConfig(num_coarse_samples=8, num_importance_samples=8,
+                          num_reflect_coarse_samples=4,
+                          num_reflect_importance_samples=4)))
+    ds = make_synthetic_dataset(num_cameras=2, H=16, W=16)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    a = render_image(params, ds.cameras, 0, cfg, rays_per_chunk=32)
+    b = render_image(params, ds.cameras, 0, cfg, rays_per_chunk=128)
+    c = render_image(params, ds.cameras, 0, cfg, rays_per_chunk=300)
+    for k in a:
+        np.testing.assert_allclose(b[k], a[k], atol=1e-5, rtol=1e-4,
+                                   err_msg=f"{k} 128-vs-32")
+        np.testing.assert_allclose(c[k], a[k], atol=1e-5, rtol=1e-4,
+                                   err_msg=f"{k} 300-vs-32")
