@@ -253,6 +253,20 @@ def main(argv=None) -> int:
     server = ThreadingHTTPServer(("0.0.0.0", ns.port), _Handler)
     print(f"rsn viewer (step {step}) at http://localhost:{ns.port}/",
           flush=True)
+
+    def _warmup():
+        # precompile the three progressive-quality render programs so
+        # the first interaction doesn't stall on compilation (each
+        # whole-image program takes tens of seconds to build on a
+        # remote backend); render_image caches per (config, chunk,
+        # n_chunks) so these compiles are reused for every later frame
+        for q in range(len(_QUALITY_DIVISORS)):
+            t0 = time.time()
+            _render_pose(0.0, 0.3, 1.0, "rgb", q)
+            print(f"viewer: warmed quality level {q} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+
+    threading.Thread(target=_warmup, daemon=True).start()
     try:
         server.serve_forever()
     except KeyboardInterrupt:

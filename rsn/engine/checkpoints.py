@@ -48,12 +48,29 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 def load_checkpoint(path: str, abstract_state: Any = None) -> Dict[str, Any]:
     """Restore a checkpoint; abstract_state=None restores from the
     checkpoint's own saved structure (arrays come back as-is, optax
-    states as plain pytrees)."""
+    states as plain pytrees).
+
+    CROSS-PLATFORM: restoring from metadata alone replays the sharding
+    the checkpoint was SAVED under ("Device TPU v5 lite0 was not found"
+    when loading a TPU-trained run on CPU) — so the no-target path
+    rebuilds abstract ShapeDtypeStructs from the checkpoint metadata,
+    which restores onto the current default device. Train-on-TPU /
+    inspect-on-CPU is a supported flow (same role as torch.load
+    map_location in the reference stack)."""
+    import jax
     import orbax.checkpoint as ocp
     with ocp.StandardCheckpointer() as ckptr:
+        path = os.path.abspath(path)
         if abstract_state is None:
-            return ckptr.restore(os.path.abspath(path))
-        return ckptr.restore(os.path.abspath(path), abstract_state)
+            meta = ckptr.metadata(path)
+            dev = jax.local_devices()[0]
+            shard = jax.sharding.SingleDeviceSharding(dev)
+            abstract_state = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                               sharding=shard)
+                if hasattr(m, "shape") else m, meta.item_metadata.tree
+                if hasattr(meta, "item_metadata") else meta)
+        return ckptr.restore(path, abstract_state)
 
 
 def dump_config(run_dir: str, config) -> None:
