@@ -25,6 +25,20 @@ SPHERE_RADIUS = 1.0
 SPHERE_COLOR = np.array([0.8, 0.3, 0.2], np.float32)
 LIGHT_DIR = np.array([0.577, 0.577, 0.577], np.float32)
 
+# scene="triple": three off-center colored spheres.  The default
+# single centered textureless sphere is (almost) rotationally
+# symmetric, which makes camera-pose optimization ILL-POSED on it
+# (many pose changes render identically); the triple scene breaks the
+# symmetry so pose-refinement experiments are meaningful.
+TRIPLE_SPHERES = (  # (center, radius, color)
+    (np.array([0.0, 0.0, 0.0], np.float32), 0.8,
+     np.array([0.8, 0.3, 0.2], np.float32)),
+    (np.array([0.9, 0.6, -0.3], np.float32), 0.35,
+     np.array([0.2, 0.6, 0.9], np.float32)),
+    (np.array([-0.5, 0.9, 0.5], np.float32), 0.25,
+     np.array([0.3, 0.8, 0.3], np.float32)),
+)
+
 
 def _look_at_pose(eye: np.ndarray) -> np.ndarray:
     """OpenGL-style camera-to-world looking at the origin (z = backward)."""
@@ -68,9 +82,42 @@ def _render_sphere(pose: np.ndarray, H: int, W: int,
     return img
 
 
+def _render_triple(pose: np.ndarray, H: int, W: int,
+                   focal: float) -> np.ndarray:
+    """Nearest-hit ray trace of the TRIPLE_SPHERES scene."""
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    d_cam = np.stack([(xs - W / 2.0) / focal, -(ys - H / 2.0) / focal,
+                      -np.ones_like(xs)], axis=-1)
+    d = d_cam @ pose[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+
+    best_t = np.full(d.shape[:-1], np.inf, np.float32)
+    img = np.ones(d.shape[:-1] + (3,), np.float32)
+    for center, radius, color in TRIPLE_SPHERES:
+        oc = o - center
+        b = 2.0 * np.sum(d * oc, axis=-1)
+        c = float(np.dot(oc, oc)) - radius**2
+        disc = b**2 - 4.0 * c
+        t = np.where(disc > 0,
+                     (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0, np.inf)
+        closer = (t > 0) & (t < best_t)
+        p = o + d * np.where(np.isfinite(t), t, 0.0)[..., None]
+        n = (p - center) / max(radius, 1e-9)
+        lam = np.clip(np.sum(n * LIGHT_DIR, axis=-1), 0.0, 1.0)
+        shade = (0.25 + 0.75 * lam)[..., None] * color
+        img = np.where(closer[..., None], shade, img)
+        best_t = np.where(closer, t, best_t)
+    return img.astype(np.float32)
+
+
 def make_synthetic_dataset(num_cameras: int = 12, H: int = 64, W: int = 64,
-                           split: str = "train") -> Dataset:
+                           split: str = "train",
+                           scene: str = "sphere") -> Dataset:
     import jax.numpy as jnp
+
+    render = {"sphere": _render_sphere, "triple": _render_triple}[scene]
 
     camera_angle_x = 0.6911112070083618  # lego's fov, ~39.6 deg
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
@@ -83,7 +130,7 @@ def make_synthetic_dataset(num_cameras: int = 12, H: int = 64, W: int = 64,
                        np.float32)
         eye *= 4.0 / np.linalg.norm(eye)
         pose = _look_at_pose(eye)
-        images.append(_render_sphere(pose, H, W, focal))
+        images.append(render(pose, H, W, focal))
         poses.append(pose)
 
     imgs = np.stack(images)

@@ -105,22 +105,56 @@ def make_train_step(config: TrainerConfig):
                           interlevel_loss=jnp.float32(
                               mcfg.interlevel_loss_mult))
 
-        def loss_fn(params, cam, prop):
+        def forward(params, cam, prop):
             b = camera_opt_lib.apply_to_bundle(bundle, cam, cam_mode)
             outputs = model_lib.get_outputs(params, b, k_render, mcfg,
                                             training=True,
                                             prop_params=prop)
             loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
-            total = sum(jax.tree.leaves(loss_dict))
+            if cam is not None:
+                # gauge-freedom regularizer (nerfstudio camera-opt
+                # rot/trans L2 penalties; see camera_opt.py)
+                loss_dict = dict(
+                    loss_dict,
+                    camera_opt_regularizer=
+                    camera_opt_lib.regularization_loss(cam))
             aux = {"mask_fraction": jnp.mean(
                 outputs["mask"].astype(jnp.float32))}
-            return total, (loss_dict, aux)
+            return loss_dict, aux
 
-        # disabled groups are None (empty pytrees): their grads come
-        # back empty and no update runs — one code path for all combos
-        (total, (loss_dict, aux)), (grads, cam_grads, prop_grads) = \
-            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
-                state.params, state.camera, state.proposal)
+        if cam_optimizer is None or state.camera is None:
+            # disabled groups are None (empty pytrees): their grads come
+            # back empty and no update runs — one code path for all combos
+            def loss_fn(params, cam, prop):
+                loss_dict, aux = forward(params, cam, prop)
+                return sum(jax.tree.leaves(loss_dict)), (loss_dict, aux)
+
+            (total, (loss_dict, aux)), (grads, cam_grads, prop_grads) = \
+                jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                   has_aux=True)(
+                    state.params, state.camera, state.proposal)
+        else:
+            # With pose refinement on, pose gradients must come ONLY
+            # from the photometric losses (+ the pose regularizer): in
+            # the reference the rays are autograd leaves, so the
+            # normal/orientation regularizers never act on geometry —
+            # and their Sum(w * residual) form is minimized by steering
+            # rays OFF the density, which makes pose-only optimization
+            # diverge (ray error 2 deg -> 31 deg measured,
+            # tools/exp_camera_opt_recovery.py).  One forward, two VJP
+            # cotangent passes (field sees every loss, camera only the
+            # photometric subset).
+            (loss_dict, aux), vjp = jax.vjp(forward, state.params,
+                                            state.camera, state.proposal)
+            zero_aux = jax.tree.map(jnp.zeros_like, aux)
+            ones = {k: jnp.float32(1.0) for k in loss_dict}
+            grads, _, prop_grads = vjp((ones, zero_aux))
+            photo = {k: jnp.float32(
+                1.0 if (k.startswith("loss_")
+                        or k == "camera_opt_regularizer") else 0.0)
+                for k in loss_dict}
+            _, cam_grads, _ = vjp((photo, zero_aux))
+            total = sum(jax.tree.leaves(loss_dict))
         if axis_name is not None:
             (grads, cam_grads, prop_grads, total, loss_dict, aux) = \
                 jax.lax.pmean((grads, cam_grads, prop_grads, total,

@@ -158,7 +158,13 @@ def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
     else:
         normals = sg(pred_normals)
     dirs = ray_samples.directions
-    reflections, n_dot_d = field_lib.get_reflection(dirs, pred_normals)
+    # sg(dirs): in the reference, ray directions are autograd LEAVES —
+    # the orientation loss n_hat.d trains the normals head only, never
+    # torques rays.  With the camera optimizer enabled, a live d edge
+    # here makes pose-only optimization DIVERGE (ray alignment error
+    # 2.0 deg -> 31 deg, tools/exp_camera_opt_recovery.py); severing it
+    # changes no values and no field gradients.
+    reflections, n_dot_d = field_lib.get_reflection(sg(dirs), pred_normals)
 
     return dict(weights=weights, rough_raw=f["rough_raw"],
                 pred_normals=pred_normals,
