@@ -59,6 +59,15 @@ def make_kernel(mode):
             biased = (i.astype(jnp.int32) + 127) << 23
             o_ref[:] = jax.lax.bitcast_convert_type(
                 biased, jnp.float32) * p
+        elif mode == "poly_bf16":
+            u = t - jnp.round(t)
+            ub = u.astype(jnp.bfloat16)
+            w = ub * ub
+            p = jnp.bfloat16(-12.2688402)
+            for c in (41.2037313, -76.5796851, 81.5961385, -41.3414194,
+                      6.28318279):
+                p = p * w + jnp.bfloat16(c)
+            o_ref[:] = (p * ub).astype(jnp.float32)
         elif mode == "cos_poly":
             u = t - jnp.round(t)
             w = u * u
@@ -91,7 +100,7 @@ def main():
     # IPE-scale args: frequencies up to 2^15, positions ~unit
     x = jax.random.normal(key, (n, 128)) * jnp.exp2(
         jnp.arange(128) % 16).astype(f32)
-    for mode in ("copy", "exact", "poly", "exp", "exp2", "exp2_ldexp", "cos_poly"):
+    for mode in ("copy", "exact", "poly", "exp", "exp2", "poly_bf16", "cos_poly"):
         fn = run(mode, x)
         t = time_fn(fn, x)
         print(f"{mode:6}: {t*1e3:6.3f} ms")
