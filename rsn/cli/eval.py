@@ -75,7 +75,10 @@ def main(argv=None) -> int:
     params, config, _, extras = load_run_full(ns.load_dir)
     from rsn.data.blender import load_dataset
     dm = config.pipeline.datamanager
-    split = ns.split or ("test" if dm.dataparser == "blender" else "test")
+    # ns-eval convention: metrics on the test split for every parser
+    # (Blender ships train/val/test; nerfstudio/synthetic fall back to
+    # the train split inside load_dataset when no eval split exists)
+    split = ns.split or "test"
     dataset = load_dataset(dm.dataparser, dm.data or "", split,
                            dm.downscale_factor, dm.scale_factor)
     from rsn.parallel import mesh as mesh_lib

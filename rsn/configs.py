@@ -74,10 +74,20 @@ class ModelConfig:
     reflect_far: float = 2.0 ** 8      # model.py:113
     reciprocal_tan: float = 0.25       # model.py:111
     mask_accumulation_threshold: float = 1e-2  # model.py:229
-    # reflected passes run on the top-K masked rays, K = fraction * R
-    # (fixed-shape compaction; exact reference semantics while
-    # #masked <= K, see PARITY.md).  1.0 = process all rays.
-    reflect_ray_fraction: float = 1.0
+    # TRAINING-ONLY fixed-shape compaction: reflected passes run on the
+    # top-K masked rays, K = fraction * batch.  Exact reference
+    # semantics while #masked <= K (the reference itself only pays for
+    # masked rays via boolean gather, model.py:267); overflow beyond the
+    # cap falls back to the background fill and is reported by the
+    # "reflect_overflow" output.  The trainer ADAPTS this cap upward
+    # (never below this configured floor) when the observed mask
+    # fraction approaches it — see trainer.REFLECT_FRACTION_BUCKETS;
+    # set 1.0 (+ adaptive off) to force all-rays processing.  Eval and
+    # render always process every masked ray (fraction ignored).
+    reflect_ray_fraction: float = 0.5
+    # eval/render-mode cap (1.0 = process every masked ray exactly,
+    # like the reference's gather; lower it only for preview renders)
+    eval_reflect_ray_fraction: float = 1.0
     # Optional proposal-network sampling (rsn/models/proposal.py): the
     # coarse pass runs a small density-only field trained against the
     # mip-NeRF-360 interlevel loss, binding the reference's otherwise
@@ -170,6 +180,11 @@ class TrainerConfig:
         default_factory=_default_optimizers)
     # parallelism: number of devices for the data mesh axis (0 = all)
     num_devices: int = 0
+    # adaptive reflect-compaction cap (see ModelConfig.reflect_ray_
+    # fraction): the trainer raises the cap when the observed mask
+    # fraction approaches it and relaxes it back toward the configured
+    # floor when it doesn't.  Off = the configured fraction is static.
+    adaptive_reflect_fraction: bool = True
     steps_per_log: int = 10
     # steps fused into ONE device dispatch (lax.fori_loop inside jit),
     # capped by the distance to the next log/eval/save event.  Amortizes

@@ -38,6 +38,13 @@ from rsn.models import field as field_lib
 from rsn.models import model as model_lib
 from rsn.parallel import mesh as mesh_lib
 
+# Adaptive reflect-compaction buckets: the trainer moves the
+# reflect_ray_fraction cap through these (up immediately on pressure,
+# down slowly), keeping exact reference semantics with REFLECT_HEADROOM
+# of slack above the observed mask fraction.
+REFLECT_FRACTION_BUCKETS = (0.25, 0.375, 0.5, 0.625, 0.75, 1.0)
+REFLECT_HEADROOM = 0.1
+
 
 @struct.dataclass
 class TrainState:
@@ -119,7 +126,8 @@ def make_train_step(config: TrainerConfig):
                     camera_opt_regularizer=
                     camera_opt_lib.regularization_loss(cam))
             aux = {"mask_fraction": jnp.mean(
-                outputs["mask"].astype(jnp.float32))}
+                outputs["mask"].astype(jnp.float32)),
+                "reflect_overflow": outputs["reflect_overflow"]}
             return loss_dict, aux
 
         if cam_optimizer is None or state.camera is None:
@@ -149,8 +157,16 @@ def make_train_step(config: TrainerConfig):
             zero_aux = jax.tree.map(jnp.zeros_like, aux)
             ones = {k: jnp.float32(1.0) for k in loss_dict}
             grads, _, prop_grads = vjp((ones, zero_aux))
+            unclassified = (set(loss_dict)
+                            - model_lib.PHOTOMETRIC_LOSS_KEYS
+                            - model_lib.NON_PHOTOMETRIC_LOSS_KEYS
+                            - {"camera_opt_regularizer"})
+            assert not unclassified, (
+                f"loss keys {unclassified} not classified in "
+                "model.PHOTOMETRIC_LOSS_KEYS / NON_PHOTOMETRIC_LOSS_KEYS"
+                " — pose-gradient routing would be silently wrong")
             photo = {k: jnp.float32(
-                1.0 if (k.startswith("loss_")
+                1.0 if (k in model_lib.PHOTOMETRIC_LOSS_KEYS
                         or k == "camera_opt_regularizer") else 0.0)
                 for k in loss_dict}
             _, cam_grads, _ = vjp((photo, zero_aux))
@@ -299,7 +315,9 @@ def render_image(params, cameras: Cameras, camera_index: int,
     # mesh's device set, not just its presence
     mesh_key = None if mesh is None else (
         tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
-    cache_key = (repr(mcfg), chunk, n_chunks, mesh_key,
+    # mcfg is a frozen dataclass: hashable with value-based equality over
+    # EVERY field (unlike repr, which silently drops repr=False fields)
+    cache_key = (mcfg, chunk, n_chunks, mesh_key,
                  prop_params is None)
     render_all = _RENDER_ALL_CACHE.get(cache_key)
     if render_all is None:
@@ -345,42 +363,16 @@ class Trainer:
 
         self.mesh = mesh_lib.make_mesh(config.num_devices)
         self.num_devices = self.mesh.devices.size
-        train_step, self.optimizer = make_train_step(config)
+        _, self.optimizer = make_train_step(config)
 
-        if self.num_devices > 1:
-            # global batch = per-device batch * D (per-rank semantics
-            # identical to the reference's per-GPU 1024 rays)
-            def per_device(state, data, key, axis_name=None):
-                images, cameras = data
-                return train_step(state, images, cameras, key,
-                                  axis_name=axis_name)
-            step_traceable = self._make_sharded(per_device, jit=False)
-        else:
-            step_traceable = (lambda s, images, cameras, k: train_step(
-                s, images, cameras, k))
-
-        # n steps in ONE dispatch (lax.fori_loop): per-step PRNG keys
-        # come from fold_in(key, state.step) inside train_step, so the
-        # sample stream is IDENTICAL to step-at-a-time dispatch.
-        def multi(state, images, cameras, key, n):
-            m_shapes = jax.eval_shape(
-                lambda s: step_traceable(s, images, cameras, key)[1],
-                state)
-            init_m = jax.tree.map(
-                lambda sd: jnp.zeros(sd.shape, sd.dtype), m_shapes)
-
-            def body(_, carry):
-                s, _m = carry
-                return step_traceable(s, images, cameras, key)
-
-            # n is TRACED (dynamic-trip while_loop): chunk sizes vary
-            # per call (cap + boundary remainders) and a static n would
-            # recompile the whole step per distinct value.  Shapes stay
-            # fixed; only the trip count is dynamic — a deliberate
-            # exception to the fixed-control-flow convention.
-            return jax.lax.fori_loop(0, n, body, (state, init_m))
-
-        self._multi_step_fn = jax.jit(multi)
+        # adaptive reflect-fraction controller state: the dispatched
+        # step function is rebuilt (cached per bucket) when the observed
+        # mask fraction approaches the compaction cap (see
+        # _maybe_adapt_reflect_fraction)
+        self._reflect_frac = config.pipeline.model.reflect_ray_fraction
+        self._multi_step_cache: Dict[float, Any] = {}
+        self._reflect_down_votes = 0
+        self._multi_step_fn = self._build_multi_step(self._reflect_frac)
 
         params = field_lib.init_field_params(
             jax.random.PRNGKey(config.seed))
@@ -420,6 +412,107 @@ class Trainer:
         if config.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self._eval_image_cursor = 0
+
+    def _build_multi_step(self, fraction: float):
+        """Jitted n-step dispatch (lax.fori_loop) for a given
+        reflect_ray_fraction — cached per bucket so the adaptive
+        controller can swap caps without retracing.
+
+        Per-step PRNG keys come from fold_in(key, state.step) inside
+        train_step, so the sample stream is IDENTICAL to step-at-a-time
+        dispatch (and invariant to the fraction)."""
+        fn = self._multi_step_cache.get(fraction)
+        if fn is not None:
+            return fn
+        import dataclasses
+        config = self.config
+        if fraction != config.pipeline.model.reflect_ray_fraction:
+            mcfg = dataclasses.replace(config.pipeline.model,
+                                       reflect_ray_fraction=fraction)
+            config = dataclasses.replace(
+                config,
+                pipeline=dataclasses.replace(config.pipeline, model=mcfg))
+        train_step, _ = make_train_step(config)
+
+        if self.num_devices > 1:
+            # global batch = per-device batch * D (per-rank semantics
+            # identical to the reference's per-GPU 1024 rays)
+            def per_device(state, data, key, axis_name=None):
+                images, cameras = data
+                return train_step(state, images, cameras, key,
+                                  axis_name=axis_name)
+            step_traceable = self._make_sharded(per_device, jit=False)
+        else:
+            step_traceable = (lambda s, images, cameras, k: train_step(
+                s, images, cameras, k))
+
+        def multi(state, images, cameras, key, n):
+            m_shapes = jax.eval_shape(
+                lambda s: step_traceable(s, images, cameras, key)[1],
+                state)
+            init_m = jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), m_shapes)
+
+            def body(_, carry):
+                s, _m = carry
+                return step_traceable(s, images, cameras, key)
+
+            # n is TRACED (dynamic-trip while_loop): chunk sizes vary
+            # per call (cap + boundary remainders) and a static n would
+            # recompile the whole step per distinct value.  Shapes stay
+            # fixed; only the trip count is dynamic — a deliberate
+            # exception to the fixed-control-flow convention.
+            return jax.lax.fori_loop(0, n, body, (state, init_m))
+
+        fn = jax.jit(multi)
+        self._multi_step_cache[fraction] = fn
+        return fn
+
+    def _maybe_adapt_reflect_fraction(self,
+                                      metrics: Dict[str, float]) -> None:
+        """Adaptive compaction cap (VERDICT r1 #2): raise the
+        reflect_ray_fraction bucket when the observed mask fraction
+        approaches the cap — and IMMEDIATELY when masked rays actually
+        overflowed — or relax it back toward the configured floor after
+        3 consecutive under-target observations.  Never drops below the
+        configured reflect_ray_fraction, so an explicit 1.0 stays exact
+        forever.
+
+        Decisions read the LAST logged step's metrics at fixed
+        steps_per_log boundaries (never the dispatch-dependent `first`
+        log), so the controller — and therefore the training sample
+        stream — is invariant to steps_per_dispatch chunking.  Per-step
+        mask noise is ~binomial (std ~1.5% at 1024 rays), far inside
+        REFLECT_HEADROOM."""
+        cfg = self.config
+        if not cfg.adaptive_reflect_fraction:
+            return
+        mf = metrics.get("mask_fraction")
+        if mf is None:
+            return
+        floor = cfg.pipeline.model.reflect_ray_fraction
+        cur = self._reflect_frac
+        need = min(1.0, mf + REFLECT_HEADROOM)
+        target = next(b for b in REFLECT_FRACTION_BUCKETS if b >= need)
+        target = max(target, floor)
+        if metrics.get("reflect_overflow", 0.0) > 0.0 and cur < 1.0:
+            target = max(target, next(
+                b for b in REFLECT_FRACTION_BUCKETS if b > cur))
+        if target > cur:
+            self._reflect_down_votes = 0
+            self._set_reflect_fraction(target)
+        elif target < cur:
+            self._reflect_down_votes += 1
+            if self._reflect_down_votes >= 3:
+                self._reflect_down_votes = 0
+                self._set_reflect_fraction(target)
+        else:
+            self._reflect_down_votes = 0
+
+    def _set_reflect_fraction(self, frac: float) -> None:
+        print(f"reflect compaction: fraction -> {frac:g}", flush=True)
+        self._reflect_frac = frac
+        self._multi_step_fn = self._build_multi_step(frac)
 
     def _make_sharded(self, per_device, jit: bool = True):
         from jax.sharding import PartitionSpec as P
@@ -558,8 +651,12 @@ class Trainer:
                 # host round trip — ~90 ms on tunneled backends)
                 metrics = jax.device_get(metrics)
                 metrics = {k: float(v) for k, v in metrics.items()}
+                if hit(cfg.steps_per_log):  # not the dispatch-dependent
+                    self._maybe_adapt_reflect_fraction(metrics)  # first log
+                metrics["reflect_fraction"] = self._reflect_frac
                 if not cfg.debug_telemetry:
                     metrics.pop("mask_fraction", None)
+                    metrics.pop("reflect_overflow", None)
                 rays = (step - start) * \
                     cfg.pipeline.datamanager.train_num_rays_per_batch * \
                     max(self.num_devices, 1)

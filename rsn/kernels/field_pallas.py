@@ -613,6 +613,152 @@ def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
     )(mean_cov, g_bands, *ipe_ops, E, *packed)
 
 
+# ---- v5: cross-grid-step software pipelining ---------------------------
+# v3/v4 still serialize HALF the IPE front-end per tile: both halves'
+# VPU transcendentals are issued upfront, so half 1's polys hide under
+# half 0's MXU trunk, but half 0's polys have nothing to hide under
+# (measured ~0.2 ms/pass of 1.07 ms, BASELINE.md).  v5 removes that by
+# computing tile i+1's ENTIRE IPE while tile i's trunk occupies the
+# MXU, carrying the result in a 2-slot VMEM scratch across grid steps
+# (grid execution is sequential on a TensorCore, so scratch persists).
+# Even/odd grid parity is unrolled with pl.when so the scratch slots
+# are STATIC indices — Mosaic cannot alias-analyze dynamic slot
+# arithmetic and would serialize the slot write against the slot read.
+# The only serialized front-end left is tile 0's (grid prologue).
+#
+# mean_cov must be padded by one extra (zeroed) tile: the index_map
+# i+1 reads one block past the end on the last step (garbage IPE into
+# the dead slot — never consumed).
+
+
+def _kernel_v5(want_normals, order, mc_cur_ref, mc_next_ref, g_ref, A_ref,
+               bA_ref, V_ref, M_ref, E_ref, *refs):
+    if want_normals:
+        (w0, w1, w2, w3, w4, w5, w6, w7,
+         b0, b1, b2, b3, b4, b5, b6, b7, whs, bhs,
+         w_comb, b_comb, w_out, b_out, wd_row, out_ref,
+         x_s, damp_s, u_s) = refs
+    else:
+        (w0, w1, w2, w3, w4, w5, w6, w7,
+         b0, b1, b2, b3, b4, b5, b6, b7, whs, bhs,
+         w_comb, b_comb, w_out, b_out, out_ref, x_s) = refs
+        wd_row = damp_s = u_s = None
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+    ipe = (A_ref[:], bA_ref[:], V_ref[:], M_ref[:])
+    i = pl.program_id(0)
+
+    def ipe_into(mc, dst: int):
+        x, _, damp, u = _ipe_parts(mc, ipe)
+        x_s[dst] = x
+        if damp_s is not None:
+            damp_s[dst] = damp
+            u_s[dst] = u
+
+    @pl.when(i == 0)
+    def _prologue():
+        ipe_into(mc_cur_ref[:], 0)
+
+    g_rep = jnp.dot(E_ref[:], g_ref[:],
+                    preferred_element_type=jnp.float32)  # (T, 512)
+    T = mc_cur_ref.shape[0]
+    H = T // N_HALVES
+
+    def run(slot: int, dst: int):
+        # tile i+1's whole IPE front-end (VPU + two 16-wide matmuls):
+        # no data dependency on this tile's trunk — `order` controls
+        # where in the block it is issued ("pre"/"mid"/"post"; "skip"
+        # is a perf-probe that consumes stale scratch without refilling)
+        if order == "pre":
+            ipe_into(mc_next_ref[:], dst)
+        for p in range(N_HALVES):
+            lo, hi = p * H, (p + 1) * H
+            parts = (x_s[slot, lo:hi, :], None,
+                     None if damp_s is None else damp_s[slot, lo:hi, :],
+                     None if u_s is None else u_s[slot, lo:hi, :])
+            out = _field_half(parts, g_rep[lo:hi, :], ipe, ws, bs, whs,
+                              bhs, w_comb, b_comb, w_out, b_out, wd_row)
+            out_ref[lo:hi, :] = out.astype(jnp.bfloat16)
+            if order == "mid" and p == 0:
+                ipe_into(mc_next_ref[:], dst)
+        if order == "post":
+            ipe_into(mc_next_ref[:], dst)
+
+    @pl.when(jax.lax.rem(i, 2) == 0)
+    def _even():
+        run(0, 1)
+
+    @pl.when(jax.lax.rem(i, 2) == 1)
+    def _odd():
+        run(1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
+                                             "want_normals", "interpret",
+                                             "order"))
+def field_forward_v5(packed, mean_cov: jax.Array, g_bands: jax.Array,
+                     samples_per_ray: int, tile: int = DEFAULT_TILE,
+                     want_normals: bool = False, interpret: bool = False,
+                     order: str = "pre"):
+    """Pipelined fused field+mid forward (v3/v4 math, v5 schedule).
+
+    packed: pack_params_v3f operands (want_normals=False) or
+    pack_params_v4f (True, adds the fused analytic-normals dgrad and
+    the V4_DPDM output columns).  Same I/O contract as v3/v4.
+    """
+    n = mean_cov.shape[0]
+    assert n % tile == 0, (n, tile)
+    assert tile % samples_per_ray == 0, (tile, samples_per_ray)
+    rays_per_tile = tile // samples_per_ray
+    grid = (n // tile,)
+    import numpy as np
+    ipe_ops = ipe_matrices()
+    E = jnp.asarray(np.kron(np.eye(rays_per_tile, dtype=np.float32),
+                            np.ones((samples_per_ray, 1), np.float32)))
+    mc_pad = jnp.pad(mean_cov, ((0, tile), (0, 0)))  # i+1 read past end
+    in_specs = [
+        pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, IN_COLS), lambda i: (i + 1, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 512), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for m in ipe_ops:
+        in_specs.append(pl.BlockSpec(m.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(E.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM((2, tile, ENC_PAD), jnp.bfloat16)]
+    if want_normals:
+        scratch += [pltpu.VMEM((2, tile, ENC_PAD), jnp.float32),
+                    pltpu.VMEM((2, tile, ENC_PAD), jnp.float32)]
+    mult = 2 if want_normals else 1
+    flops_per_row = mult * 2 * (ENC_PAD * 256 + 3 * 256 * 256
+                                + SKIP_PAD * 256 + 3 * 256 * 256
+                                + 2 * 256 * 128 + 128 * 128)
+    return pl.pallas_call(
+        functools.partial(_kernel_v5, want_normals, order),
+        grid=grid,
+        in_specs=in_specs,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_specs=pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, V3_OUT), jnp.bfloat16),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2) + 512 * 4 * (
+                n // samples_per_ray),
+            transcendentals=n * (300 if want_normals else 200)),
+    )(mc_pad, mc_pad, g_bands, *ipe_ops, E, *packed)
+
+
 def mid_g_bands(params: Dict[str, Any], ray_dirs: jax.Array,
                 sh_l8_m7_2x: bool = True) -> jax.Array:
     """Per-ray SH-band partial products for the v3 kernel: (R, 512)."""

@@ -476,10 +476,14 @@ def _bwd(samples_per_ray, tile, want_normals, res, d_out):
     # the halved kernel body keeps the per-half working set small
     # enough that the recompute-backward fits (and runs ~10% faster)
     # at tile=1024; 2048 regresses (VMEM pressure).  Lower bound: the
-    # per-ray dg block needs >=8 sublanes (8 rays/tile).
+    # per-ray dg block needs >=8 sublanes (8 rays/tile).  Clamp in RAY
+    # units so the result is always a multiple of samples_per_ray
+    # (a raw min(tile, 1024) trips the tile-divisibility assert for
+    # sample counts that don't divide 1024, e.g. 96).
+    rays_per_tile_bwd = max(8, min(tile, 1024) // samples_per_ray)
     dmc, dg, dpacked = field_backward_v4(
         packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
-        samples_per_ray, max(min(tile, 1024), 8 * samples_per_ray))
+        samples_per_ray, samples_per_ray * rays_per_tile_bwd)
     return _unpack_grads(params, dpacked), dmc, dg
 
 

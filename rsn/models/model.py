@@ -273,10 +273,15 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
     # boolean gather, model.py:267): when reflect_ray_fraction < 1,
     # passes 3/4 run only on the top-K masked rays (top_k on the mask).
     # Exact reference semantics whenever #masked <= K; excess masked
-    # rays fall back to the background fill.
+    # rays fall back to the background fill, counted by the
+    # "reflect_overflow" output so the trainer's adaptive controller
+    # can raise the cap (rsn/engine/trainer.py).  Training and eval
+    # have separate caps; eval defaults to 1.0 = every masked ray
+    # processed exactly, like the reference's gather (model.py:267-289).
     R = mask.shape[0]
-    K = R if cfg.reflect_ray_fraction >= 1.0 else max(
-        8, int(R * cfg.reflect_ray_fraction))
+    frac = (cfg.reflect_ray_fraction if training
+            else cfg.eval_reflect_ray_fraction)
+    K = R if frac >= 1.0 else max(8, int(R * frac))
     if K < R:
         _, sel = jax.lax.top_k(mask.astype(jnp.float32), K)
         reflect_bundle = jax.tree.map(lambda x: x[sel], reflect_bundle)
@@ -285,11 +290,13 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         # rays that are masked but beyond the cap fall back to bg fill
         selected = jnp.zeros((R,), bool).at[sel].set(True)
         eff_mask_col = (mask & selected)[:, None]
+        reflect_overflow = jnp.mean((mask & ~selected).astype(jnp.float32))
     else:
         sel = None
         sqradius_sel = sqradius
         reflections_sel = reflections
         eff_mask_col = None
+        reflect_overflow = jnp.float32(0.0)
     background_color = field_lib.get_inf_color(params, reflections_sel,
                                                sqradius_sel, fcfg)
 
@@ -351,6 +358,9 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         "mask": mask,
         # always emitted at fixed shape; valid only where mask (SURVEY B#10)
         "depth_reflect_fine": depth_reflect_fine,
+        # fraction of rays that are masked but beyond the compaction cap
+        # (0.0 whenever #masked <= K, i.e. exact reference semantics)
+        "reflect_overflow": reflect_overflow,
     }
     if use_prop:
         # interlevel-loss inputs: LIVE proposal weights + the two
@@ -369,6 +379,25 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
             "n_dot_d_coarse": c["n_dot_d"],
         })
     return outputs
+
+
+# Loss-key classification for gradient routing (consumed by the
+# trainer's camera-optimizer path): pose gradients flow ONLY from the
+# photometric losses + the pose regularizer — the normal/orientation
+# regularizers act on rays-as-leaves in the reference and steering rays
+# off the density diverges (see make_train_step).  Every key
+# get_loss_dict can emit MUST appear in exactly one set; the trainer
+# asserts full classification so a future loss can't silently get the
+# wrong routing (ADVICE r1).
+PHOTOMETRIC_LOSS_KEYS = frozenset({
+    "loss_mid_coarse", "loss_mid_fine",
+    "loss_reflect_mid_coarse", "loss_reflect_mid_fine",
+})
+NON_PHOTOMETRIC_LOSS_KEYS = frozenset({
+    "predicted_normal_loss_coarse", "predicted_normal_loss_fine",
+    "orientation_loss_coarse", "orientation_loss_fine",
+    "interlevel_loss",
+})
 
 
 def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,

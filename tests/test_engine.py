@@ -226,6 +226,42 @@ def _mini_trainer_cfg(tmp_path, **kw):
         steps_per_eval_image=1000, steps_per_save=6, **kw)
 
 
+def test_adaptive_reflect_fraction_controller(tmp_path):
+    """The compaction-cap controller: bumps up when mask+headroom
+    crosses the cap (immediately on overflow), relaxes down only after
+    3 consecutive under-target reads, never below the configured
+    floor."""
+    from rsn.engine.trainer import Trainer
+
+    tr = Trainer(_mini_trainer_cfg(tmp_path))
+    assert tr._reflect_frac == 0.5  # ModelConfig default
+    # mask well under cap: no change
+    tr._maybe_adapt_reflect_fraction({"mask_fraction": 0.30,
+                                      "reflect_overflow": 0.0})
+    assert tr._reflect_frac == 0.5
+    # mask + 0.1 headroom crosses 0.5 -> bump to 0.625
+    tr._maybe_adapt_reflect_fraction({"mask_fraction": 0.45,
+                                      "reflect_overflow": 0.0})
+    assert tr._reflect_frac == 0.625
+    # overflow forces an immediate bump even if mask reads low
+    tr._maybe_adapt_reflect_fraction({"mask_fraction": 0.45,
+                                      "reflect_overflow": 0.01})
+    assert tr._reflect_frac == 0.75
+    # relaxation needs 3 consecutive under-target observations
+    for i in range(2):
+        tr._maybe_adapt_reflect_fraction({"mask_fraction": 0.30,
+                                          "reflect_overflow": 0.0})
+        assert tr._reflect_frac == 0.75
+    tr._maybe_adapt_reflect_fraction({"mask_fraction": 0.30,
+                                      "reflect_overflow": 0.0})
+    assert tr._reflect_frac == 0.5
+    # never below the configured floor
+    for _ in range(5):
+        tr._maybe_adapt_reflect_fraction({"mask_fraction": 0.05,
+                                          "reflect_overflow": 0.0})
+    assert tr._reflect_frac == 0.5
+
+
 def test_multi_step_dispatch_chunking_invariant(tmp_path):
     """Fusing K steps into one dispatch (lax.fori_loop) must produce
     bit-identical params to step-at-a-time dispatch: per-step PRNG keys

@@ -132,6 +132,46 @@ def test_backward_matches_shadow_grads(setup):
                                atol=0.05, rtol=0.1)
 
 
+def test_fused_vs_unfused_packing_asymmetry_bounded():
+    """The custom-VJP pair is numerically asymmetric by design: the
+    fused forward evaluates h @ w_comb with w_comb = (Wb @ W_emb)
+    folded in fp32 and rounded ONCE to bf16, while the recompute
+    backward re-derives the bottleneck through two separate bf16
+    matmuls (pack_params_v3).  This pins the gap at bf16 resolution so
+    a future packing change that widens it fails loudly (ADVICE r1,
+    field_pallas.py pack_params_v3f).
+    """
+    params = field_lib.init_field_params(jax.random.PRNGKey(7))
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    h = jax.random.normal(jax.random.PRNGKey(8), (512, 256))
+    h = jnp.maximum(h, 0.0).astype(bf16)  # trunk output: post-ReLU bf16
+
+    # fused-forward path (pack_params_v3f): single-rounded w_comb
+    wb = params["bottleneck"]["w"].astype(f32)
+    bb = params["bottleneck"]["b"].astype(f32)
+    w_emb = params["mid_mlp"]["w"][34:].astype(f32)
+    b_mid = params["mid_mlp"]["b"].astype(f32)
+    w_comb = (wb @ w_emb).astype(bf16)
+    b_comb = bb @ w_emb + b_mid
+    fused = jax.lax.dot_general(h, w_comb, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32) + b_comb
+
+    # recompute-backward path (pack_params_v3): two bf16 matmuls
+    bneck = (jax.lax.dot_general(h, wb.astype(bf16),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+             + bb).astype(bf16)
+    unfused = jax.lax.dot_general(bneck, w_emb.astype(bf16),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32) + b_mid
+
+    scale = float(jnp.max(jnp.abs(fused)))
+    diff = float(jnp.max(jnp.abs(fused - unfused)))
+    # bf16 has ~8 mantissa bits; the two paths differ by one extra
+    # rounding of a 256-term contraction — allow 2^-7 relative
+    assert diff <= 2.0 ** -7 * max(scale, 1.0), (diff, scale)
+
+
 def test_backward_v4_matches_v3(setup):
     """The 2D-grid backward must produce identical grads to v3."""
     params, mc, g = setup
@@ -177,6 +217,27 @@ def test_forward_v4_normals_match_analytic(setup):
     dots = np.sum(kernel_normals * ref, axis=-1)
     assert np.median(dots) > 0.999, np.median(dots)
     assert np.mean(dots > 0.99) > 0.9, np.mean(dots > 0.99)
+
+
+def test_forward_v5_pipelined_matches_v3_and_v4(setup):
+    """The cross-grid-step pipelined schedule (v5) must be numerically
+    IDENTICAL to v3 (and to v4 with want_normals): it reorders when the
+    IPE front-end runs, not what it computes.  grid=2 here exercises
+    the prologue, both parities, and the scratch carry."""
+    params, mc, g = setup
+    out3 = fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, S,
+                               tile=TILE, interpret=True)
+    out5 = fp.field_forward_v5(fp.pack_params_v3f(params), mc, g, S,
+                               tile=TILE, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out5, np.float32),
+                                  np.asarray(out3, np.float32))
+    out4 = fp.field_forward_v4(fp.pack_params_v4f(params), mc, g, S,
+                               tile=TILE, interpret=True)
+    out5n = fp.field_forward_v5(fp.pack_params_v4f(params), mc, g, S,
+                                tile=TILE, want_normals=True,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(out5n, np.float32),
+                                  np.asarray(out4, np.float32))
 
 
 def test_custom_vjp_chain_end_to_end(setup):

@@ -26,6 +26,9 @@ EXPECTED_KEYS = {
     "pred_normals_coarse", "pred_normals_fine", "normals_coarse",
     "normals_fine", "n_dot_d_coarse", "n_dot_d_fine", "diff", "tint",
     "roughness", "mask", "depth_reflect_fine",
+    # rsn addition: compaction-cap overflow accounting (scalar; 0.0
+    # whenever the fixed-shape compaction is exact)
+    "reflect_overflow",
 }
 
 
@@ -169,7 +172,7 @@ def test_reflect_compaction_exact_when_under_cap(setup):
     n_masked = int(np.asarray(full["mask"]).sum())
     if n_masked == 0 or n_masked > 6:
         pytest.skip(f"fixture mask count {n_masked} unsuited")
-    cfg2 = dataclasses.replace(CFG, reflect_ray_fraction=6.0 / 8.0)
+    cfg2 = dataclasses.replace(CFG, eval_reflect_ray_fraction=6.0 / 8.0)
     comp = jax.jit(lambda p, r, k: M.get_outputs(p, r, k, cfg2, False))(
         params, rb, key)
     np.testing.assert_allclose(np.asarray(comp["mid_reflect_fine"]),
@@ -179,12 +182,32 @@ def test_reflect_compaction_exact_when_under_cap(setup):
                                   np.asarray(full["mask"]))
 
 
+def test_eval_ignores_training_compaction_cap(setup):
+    """The TRAINING cap (reflect_ray_fraction) must not affect eval:
+    eval/render exactness is governed only by eval_reflect_ray_fraction
+    (default 1.0 = reference-gather semantics on every masked ray)."""
+    import dataclasses
+    params, rb, _ = setup
+    key = jax.random.PRNGKey(13)
+    base = jax.jit(lambda p, r, k: M.get_outputs(p, r, k, CFG, False))(
+        params, rb, key)
+    cfg2 = dataclasses.replace(CFG, reflect_ray_fraction=0.25)
+    capped = jax.jit(lambda p, r, k: M.get_outputs(p, r, k, cfg2, False))(
+        params, rb, key)
+    for k in ("mid_reflect_fine", "mid_reflect_coarse",
+              "depth_reflect_fine"):
+        np.testing.assert_array_equal(np.asarray(base[k]),
+                                      np.asarray(capped[k]), err_msg=k)
+    assert float(capped["reflect_overflow"]) == 0.0
+
+
 def test_reflect_compaction_over_cap_falls_back(setup):
     """With K below the masked count, excess masked rays must get the
     background fill (and stay finite)."""
     import dataclasses
     params, rb, _ = setup
-    cfg2 = dataclasses.replace(CFG, reflect_ray_fraction=0.01)  # K=8? min 8
+    cfg2 = dataclasses.replace(CFG,
+                               eval_reflect_ray_fraction=0.01)  # min K=8
     # force tiny K by many rays: use the 8-ray fixture -> K = max(8, .08)=8
     # -> same as full; instead test fraction on a 32-ray bundle
     key = jax.random.PRNGKey(12)
@@ -195,8 +218,12 @@ def test_reflect_compaction_over_cap_falls_back(setup):
             origins=jnp.zeros((32, 3)), directions=d,
             pixel_area=jnp.full((32, 1), 1e-6),
             nears=jnp.zeros((32, 1)), fars=jnp.ones((32, 1))), CFG)
-    cfg2 = dataclasses.replace(CFG, reflect_ray_fraction=0.25)  # K=8
+    cfg2 = dataclasses.replace(CFG, eval_reflect_ray_fraction=0.25)  # K=8
     out = jax.jit(lambda p, r, k: M.get_outputs(p, r, k, cfg2, False))(
         params, rb32, key)
     assert bool(jnp.isfinite(out["mid_reflect_fine"]).all())
     assert out["mid_reflect_fine"].shape == (32, 3)
+    # overflow accounting: every masked ray beyond K=8 is reported
+    n_masked = int(np.asarray(out["mask"]).sum())
+    expect = max(0, n_masked - 8) / 32.0
+    assert float(out["reflect_overflow"]) == pytest.approx(expect)
