@@ -127,8 +127,10 @@ def _dense(p: Params, x: jax.Array, dtype=None, out_dtype=None) -> jax.Array:
     fp32 MXU accumulation (+ fp32 bias) and a bf16 backward.
     out_dtype optionally casts the result (bf16 activations halve HBM
     traffic between fused regions)."""
-    if dtype is None and x.dtype != jnp.float32:
+    if dtype is None and x.dtype in (jnp.bfloat16, jnp.float16):
         dtype = x.dtype  # bf16 embedding -> bf16 head matmul, fp32 out
+        # (explicitly NOT for float64: a `!= float32` test silently sent
+        # f64 oracle runs through the bf16 kernel path)
     if dtype is not None and dtype != jnp.float32:
         y = _matmul_bf16(x.astype(jnp.bfloat16), p["w"]) + p["b"]
     else:

@@ -34,11 +34,11 @@ WHITE = torch.ones(3)
 
 # ---------------------------------------------------------------- params
 
-def params_to_torch(params, requires_grad: bool = False
-                    ) -> Dict[str, object]:
+def params_to_torch(params, requires_grad: bool = False,
+                    dtype=torch.float32) -> Dict[str, object]:
     """rsn params pytree -> torch tensors (w stays (in, out): y = x@w+b)."""
     def conv(x):
-        t = torch.tensor(np.asarray(x, np.float32))
+        t = torch.tensor(np.asarray(x, np.float32)).to(dtype)
         return t.requires_grad_(True) if requires_grad else t
     out = {}
     for k, v in params.items():
@@ -92,8 +92,8 @@ def ish_encode_t(directions, roughness, sh_l8_m7_2x: bool = True):
     feats = torch.stack(
         [d[..., 0] ** int(a) * d[..., 1] ** int(b) * d[..., 2] ** int(c)
          for a, b, c in monomials.tolist()], dim=-1)
-    basis = feats @ coeffs
-    ks = torch.zeros(34)
+    basis = feats @ coeffs.to(feats.dtype)
+    ks = torch.zeros(34, dtype=feats.dtype)
     for lo, hi, k in _BAND_SLICES:
         ks[lo:hi] = k
     return basis * torch.exp(-roughness * ks)
