@@ -65,14 +65,45 @@ def ssim(pred: jax.Array, gt: jax.Array, data_range: float = 1.0,
 _LPIPS_CACHE = {"checked": False, "fn": None}
 
 
+def _lpips_weight_candidates():
+    import os
+    env = os.environ.get("RSN_LPIPS_WEIGHTS")
+    cands = [env] if env else []
+    cands += [
+        os.path.expanduser("~/.cache/rsn/lpips_vgg.pth"),
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "weights", "lpips_vgg.pth"),
+    ]
+    return [c for c in cands if c]
+
+
 def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
-    """LPIPS(VGG16) on host via torch if pretrained weights are cached
-    locally; None otherwise (no network in this environment).
+    """LPIPS(VGG16, normalize=True) — reference model.py:132,471.
+
+    Resolution order:
+    1. native JAX implementation (rsn.lpips) with weights from
+       $RSN_LPIPS_WEIGHTS, ~/.cache/rsn/lpips_vgg.pth, or
+       <repo>/weights/lpips_vgg.pth (torchvision vgg16 features +
+       lpips lin heads in one torch checkpoint);
+    2. host torch with a locally cached torchvision vgg16 (UNWEIGHTED
+       feature distance — not true LPIPS, kept as a last resort);
+    3. None (metric omitted) — nothing can be downloaded here.
 
     pred/gt: (H, W, 3) float in [0,1] (normalize=True semantics).
     """
     if not _LPIPS_CACHE["checked"]:
         _LPIPS_CACHE["checked"] = True
+        from rsn import lpips as lpips_lib
+        for cand in _lpips_weight_candidates():
+            params = lpips_lib.load_torch_weights(cand)
+            if params is not None:
+                dist = jax.jit(lambda a, b: lpips_lib.lpips_distance(
+                    params, a, b, normalize=True))
+                _LPIPS_CACHE["fn"] = lambda a, b: float(
+                    dist(jnp.asarray(a), jnp.asarray(b)))
+                break
+    if _LPIPS_CACHE["fn"] is None and not _LPIPS_CACHE.get("torch_checked"):
+        _LPIPS_CACHE["torch_checked"] = True
         try:
             import torch
             from torchvision.models import vgg16

@@ -1,0 +1,124 @@
+"""LPIPS architecture tests (random weights — no pretrained files in
+this environment).
+
+The JAX implementation (rsn/lpips.py) is locked against an independent
+in-test torch transcription of the published LPIPS-VGG formula (Zhang
+et al. 2018; consumed by the reference via torchmetrics at
+reflect_sampling_nerf_model.py:132,471): scaling layer, VGG16 slices,
+channel unit-normalization, squared diff, learned 1x1 lin heads,
+spatial mean, slice sum.  The torch-checkpoint loader is round-tripped
+so a real lpips_vgg.pth drops in without code changes.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from rsn import lpips as L
+
+
+def torch_lpips_oracle(params, img0, img1, normalize=True):
+    """Independent torch transcription of the LPIPS-VGG formula."""
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def prep(im):
+        x = torch.from_numpy(np.asarray(im, np.float32)).permute(
+            2, 0, 1)[None]
+        if normalize:
+            x = 2 * x - 1
+        return (x - shift) / scale
+
+    def feats(x):
+        out = []
+        for i, conv in enumerate(params["convs"]):
+            if i in L.POOL_BEFORE_CONV:
+                x = torch.nn.functional.max_pool2d(x, 2)
+            w = torch.from_numpy(np.asarray(conv["w"]))
+            b = torch.from_numpy(np.asarray(conv["b"]))
+            x = torch.relu(torch.nn.functional.conv2d(x, w, b, padding=1))
+            if i in L.SLICE_AFTER_CONV:
+                out.append(x)
+        return out
+
+    def unit(x):
+        return x / (x.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+
+    f0, f1 = feats(prep(img0)), feats(prep(img1))
+    total = 0.0
+    for a, b, lin in zip(f0, f1, params["lins"]):
+        w = torch.from_numpy(np.asarray(lin)).view(1, -1, 1, 1)
+        d = (unit(a) - unit(b)) ** 2
+        total = total + (d * w).sum(1).mean()
+    return float(total)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = L.init_lpips_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    img0 = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    img1 = np.clip(img0 + rng.normal(0, 0.1, img0.shape), 0, 1).astype(
+        np.float32)
+    return params, img0, img1
+
+
+def test_matches_torch_oracle(setup):
+    params, img0, img1 = setup
+    got = float(L.lpips_distance(params, jnp.asarray(img0),
+                                 jnp.asarray(img1)))
+    want = torch_lpips_oracle(params, img0, img1)
+    assert got == pytest.approx(want, rel=1e-4), (got, want)
+
+
+def test_identical_images_zero(setup):
+    params, img0, _ = setup
+    d = float(L.lpips_distance(params, jnp.asarray(img0),
+                               jnp.asarray(img0)))
+    assert d == pytest.approx(0.0, abs=1e-9)
+
+
+def test_feature_shapes(setup):
+    params, img0, _ = setup
+    x = jnp.transpose(jnp.asarray(img0), (2, 0, 1))[None]
+    feats = L._features(params, x)
+    assert [f.shape[1] for f in feats] == list(L.LIN_CHANNELS)
+    assert [f.shape[-1] for f in feats] == [64, 32, 16, 8, 4]
+
+
+def test_torch_checkpoint_loader_roundtrip(setup, tmp_path):
+    """export -> torch.save -> load_torch_weights reproduces the metric;
+    a real lpips_vgg.pth uses exactly this key layout."""
+    params, img0, img1 = setup
+    sd = {k: torch.from_numpy(v)
+          for k, v in L.export_torch_state_dict(params).items()}
+    path = tmp_path / "lpips_vgg.pth"
+    torch.save(sd, str(path))
+    loaded = L.load_torch_weights(str(path))
+    assert loaded is not None
+    a = float(L.lpips_distance(params, jnp.asarray(img0),
+                               jnp.asarray(img1)))
+    b = float(L.lpips_distance(loaded, jnp.asarray(img0),
+                               jnp.asarray(img1)))
+    assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_metrics_entry_uses_weights_file(setup, tmp_path, monkeypatch):
+    """fine_lpips appears whenever a weights file is provided
+    (VERDICT r1 #5 'done' criterion), via $RSN_LPIPS_WEIGHTS."""
+    from rsn import metrics as metrics_lib
+
+    params, img0, img1 = setup
+    sd = {k: torch.from_numpy(v)
+          for k, v in L.export_torch_state_dict(params).items()}
+    path = tmp_path / "w.pth"
+    torch.save(sd, str(path))
+    monkeypatch.setenv("RSN_LPIPS_WEIGHTS", str(path))
+    monkeypatch.setitem(metrics_lib._LPIPS_CACHE, "checked", False)
+    monkeypatch.setitem(metrics_lib._LPIPS_CACHE, "fn", None)
+    got = metrics_lib.lpips(img0, img1)
+    assert got is not None
+    want = torch_lpips_oracle(params, img0, img1)
+    assert got == pytest.approx(want, rel=1e-4)
