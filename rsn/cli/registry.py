@@ -45,7 +45,10 @@ def _proposal_config() -> TrainerConfig:
     import dataclasses
 
     base = TrainerConfig(method_name="reflect-sampling-nerf-proposal")
-    model = dataclasses.replace(base.pipeline.model, use_proposal=True)
+    # distortion 0.002 closes the preset's quality gap to the parity
+    # default (30k full-split 23.59 vs 23.6 PSNR, BASELINE.md r2 ladder)
+    model = dataclasses.replace(base.pipeline.model, use_proposal=True,
+                                distortion_loss_mult=0.002)
     return dataclasses.replace(
         base, pipeline=dataclasses.replace(base.pipeline, model=model))
 

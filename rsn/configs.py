@@ -96,6 +96,20 @@ class ModelConfig:
     use_proposal: bool = False
     num_proposal_samples: int = 64
     interlevel_loss_mult: float = 1.0
+    # mip-NeRF-360 proposal-weight annealing: for the first N steps the
+    # fine pass resamples from w_prop**anneal with anneal ramping 0 -> 1
+    # (bias curve, slope below), so early training sees near-uniform
+    # fine samples instead of an untrained proposal's spikes.  Fixes the
+    # long-horizon quality gap of interlevel-only supervision
+    # (VERDICT r1 #6).  0 disables.
+    proposal_weights_anneal_max_num_iters: int = 1000
+    proposal_weights_anneal_slope: float = 10.0
+    # mip-NeRF-360 distortion regularizer on the LIVE fine weights
+    # (spacing domain).  Proposal mode drops the reference's coarse-pass
+    # rgb/normal losses, losing their free-space regularization; the
+    # distortion loss restores it (floater suppression).  Only read in
+    # proposal mode; OFF (0.0) in the parity default.
+    distortion_loss_mult: float = 0.0
     # Config-only knob, never read — replicates the reference exactly
     # (reflect_sampling_nerf_model.py:71-74 declares DNERF temporal
     # distortion with enable=False and no consumer; SURVEY.md §2.2).

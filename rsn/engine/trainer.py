@@ -111,12 +111,26 @@ def make_train_step(config: TrainerConfig):
             coeffs = dict(coeffs,
                           interlevel_loss=jnp.float32(
                               mcfg.interlevel_loss_mult))
+            if mcfg.distortion_loss_mult:
+                coeffs["distortion_loss"] = jnp.float32(
+                    mcfg.distortion_loss_mult)
+
+        prop_anneal = None
+        if mcfg.use_proposal and mcfg.proposal_weights_anneal_max_num_iters:
+            # mip-NeRF-360 weight annealing: uniform-ish fine sampling
+            # until the proposal is trained (bias curve, slope s)
+            frac = jnp.clip(state.step.astype(jnp.float32)
+                            / mcfg.proposal_weights_anneal_max_num_iters,
+                            0.0, 1.0)
+            s = mcfg.proposal_weights_anneal_slope
+            prop_anneal = (s * frac) / ((s - 1.0) * frac + 1.0)
 
         def forward(params, cam, prop):
             b = camera_opt_lib.apply_to_bundle(bundle, cam, cam_mode)
             outputs = model_lib.get_outputs(params, b, k_render, mcfg,
                                             training=True,
-                                            prop_params=prop)
+                                            prop_params=prop,
+                                            prop_anneal=prop_anneal)
             loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
             if cam is not None:
                 # gauge-freedom regularizer (nerfstudio camera-opt
@@ -218,6 +232,9 @@ def make_eval_batch_step(config: TrainerConfig):
             coeffs = dict(coeffs,
                           interlevel_loss=jnp.float32(
                               mcfg.interlevel_loss_mult))
+            if mcfg.distortion_loss_mult:
+                coeffs["distortion_loss"] = jnp.float32(
+                    mcfg.distortion_loss_mult)
         loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
         total = sum(jax.tree.leaves(loss_dict))
         psnr = -10.0 * jnp.log10(jnp.maximum(jnp.mean(

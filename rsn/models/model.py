@@ -185,7 +185,7 @@ def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
 
 def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
                 cfg: ModelConfig, training: bool,
-                prop_params=None) -> Dict[str, jax.Array]:
+                prop_params=None, prop_anneal=None) -> Dict[str, jax.Array]:
     """The 4-pass render. ray_bundle must already be collided.
 
     With cfg.use_proposal and prop_params given, the coarse pass runs
@@ -193,6 +193,12 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
     ~50x cheaper per sample; rsn/models/proposal.py) — a deliberate
     optional deviation from the reference's mip-NeRF coarse/fine
     scheme.  The fine and reflected passes are unchanged.
+
+    prop_anneal: optional scalar in [0, 1]; the fine pass resamples
+    from w_prop**prop_anneal (mip-NeRF-360 weight annealing — uniform
+    early, proposal-shaped once trained).  None or 1.0 = off.  Only the
+    SAMPLING histogram is annealed; the interlevel loss still trains
+    the raw proposal weights.
     """
     fcfg = _field_cfg(cfg)
     k_uni, k_pdf, k_tint, k_recip, k_refl_pdf = jax.random.split(key, 5)
@@ -212,6 +218,17 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
             proposal_lib.proposal_density(prop_params, rs_uniform))
         c = None
         coarse_weights = sg(w_prop)
+        sampling_weights = coarse_weights
+        if prop_anneal is not None:
+            # anneal ONLY the sampling histogram (w**a with a->1): the
+            # reported coarse outputs and the interlevel loss keep the
+            # raw weights.  w == 0 stays 0 (jnp 0**0 == 1 would
+            # teleport samples into empty bins — guard it).
+            sampling_weights = jnp.where(
+                coarse_weights > 0.0,
+                coarse_weights ** jnp.asarray(prop_anneal,
+                                              coarse_weights.dtype),
+                0.0)
         accumulation_coarse = render_accumulation(coarse_weights)
         depth_coarse = render_depth_median(coarse_weights,
                                            rs_uniform.starts,
@@ -224,6 +241,7 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
                                    key=strat(k_uni))
         c = _primary_pass(params, rs_uniform, fcfg, training)
         coarse_weights = c["weights"]
+        sampling_weights = coarse_weights
         accumulation_coarse = render_accumulation(c["weights"])
         depth_coarse = render_depth_median(c["weights"], rs_uniform.starts,
                                            rs_uniform.ends)
@@ -232,7 +250,7 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
             0.0, 1.0)
 
     # ---- pass 2: fine (model.py:182-227) ----
-    rs_pdf = pdf_sample(ray_bundle, rs_uniform, coarse_weights, uniform,
+    rs_pdf = pdf_sample(ray_bundle, rs_uniform, sampling_weights, uniform,
                         cfg.num_importance_samples, key=strat(k_pdf))
     f = _primary_pass(params, rs_pdf, fcfg, training)
     accumulation_fine = render_accumulation(f["weights"])
@@ -281,7 +299,10 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
     R = mask.shape[0]
     frac = (cfg.reflect_ray_fraction if training
             else cfg.eval_reflect_ray_fraction)
-    K = R if frac >= 1.0 else max(8, int(R * frac))
+    # floor of 8 keeps kernel tiles sane; cap at R (tiny per-device
+    # batches, e.g. the multichip dryrun, would otherwise ask top_k for
+    # more rays than exist)
+    K = R if frac >= 1.0 else min(R, max(8, int(R * frac)))
     if K < R:
         _, sel = jax.lax.top_k(mask.astype(jnp.float32), K)
         reflect_bundle = jax.tree.map(lambda x: x[sel], reflect_bundle)
@@ -372,6 +393,12 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         outputs["fine_spacing_bins"] = jnp.concatenate(
             [rs_pdf.spacing_starts[..., 0],
              rs_pdf.spacing_ends[..., -1:, 0]], axis=-1)
+        if cfg.distortion_loss_mult:
+            # LIVE fine weights (outputs["weights_fine"] is detached):
+            # the regularizer must reach the main field's density
+            from rsn.models import proposal as proposal_lib
+            outputs["distortion"] = proposal_lib.distortion_per_ray(
+                f["weights"], outputs["fine_spacing_bins"])[..., None]
     else:
         outputs.update({
             "pred_normals_coarse": c["pred_normals"],
@@ -396,7 +423,7 @@ PHOTOMETRIC_LOSS_KEYS = frozenset({
 NON_PHOTOMETRIC_LOSS_KEYS = frozenset({
     "predicted_normal_loss_coarse", "predicted_normal_loss_fine",
     "orientation_loss_coarse", "orientation_loss_fine",
-    "interlevel_loss",
+    "interlevel_loss", "distortion_loss",
 })
 
 
@@ -434,6 +461,9 @@ def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
         losses["interlevel_loss"] = proposal_lib.interlevel_loss(
             outputs["weights_fine"], outputs["fine_spacing_bins"],
             outputs["prop_weights"], outputs["prop_spacing_bins"])
+        if "distortion" in outputs:
+            # per-ray values computed on LIVE weights in get_outputs
+            losses["distortion_loss"] = jnp.mean(outputs["distortion"])
     else:
         losses.update({
             "loss_mid_coarse": mse(gt_rgb, pred_mid_coarse),

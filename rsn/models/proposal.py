@@ -72,6 +72,34 @@ def proposal_density(params: Params, ray_samples) -> jax.Array:
     return density.reshape(*batch_shape, 1)
 
 
+def distortion_per_ray(w: jax.Array, bins: jax.Array) -> jax.Array:
+    """mip-NeRF-360 distortion regularizer, per ray, O(S) via cumsums.
+
+    L(w, s) = sum_ij w_i w_j |u_i - u_j| + (1/3) sum_i w_i^2 (s_{i+1}-s_i)
+    with u the spacing-domain bin midpoints — penalizes weight spread
+    along the ray (floaters / fog), concentrating mass into one compact
+    interval.  The pairwise term folds into exclusive prefix sums:
+        sum_ij w_i w_j |u_i-u_j| = 2 sum_i w_i (u_i W_{<i} - (wu)_{<i}).
+
+    Used (opt-in, distortion_loss_mult) with proposal-network sampling,
+    where the reference's coarse-pass rgb/normal losses don't exist to
+    regularize free space — a deliberate deviation documented in
+    PARITY.md; OFF in the parity default.
+
+    Args:
+      w: (R, S, 1) LIVE fine-pass weights; bins: (R, S+1) spacing-domain
+      edges.  Returns (R,) per-ray loss.
+    """
+    w = w[..., 0]
+    u = 0.5 * (bins[..., 1:] + bins[..., :-1])
+    dw = bins[..., 1:] - bins[..., :-1]
+    w_before = jnp.cumsum(w, axis=-1) - w          # exclusive prefix
+    wu_before = jnp.cumsum(w * u, axis=-1) - w * u
+    loss_inter = 2.0 * jnp.sum(w * (u * w_before - wu_before), axis=-1)
+    loss_intra = jnp.sum(w**2 * dw, axis=-1) / 3.0
+    return loss_inter + loss_intra
+
+
 def interlevel_loss(w_fine: jax.Array, bins_fine: jax.Array,
                     w_prop: jax.Array, bins_prop: jax.Array,
                     eps: float = 1e-7) -> jax.Array:

@@ -164,3 +164,124 @@ def test_proposal_eval_render_runs():
     assert np.all(np.isfinite(np.asarray(out["mid_reflect_fine"])))
     # proposal-mode outputs carry the interlevel inputs
     assert "prop_weights" in out and "fine_spacing_bins" in out
+
+
+def test_proposal_weight_anneal_semantics():
+    """prop_anneal=0 -> near-uniform fine resampling (w**0 = 1 on
+    nonzero bins, zeros preserved); prop_anneal=1 == no anneal; the
+    reported coarse outputs and interlevel inputs keep RAW weights."""
+    from rsn.core.rays import RayBundle
+    from rsn.models import field as field_lib
+    from rsn.models import model as M
+
+    cfg = ModelConfig(num_coarse_samples=8, num_importance_samples=8,
+                      num_reflect_coarse_samples=4,
+                      num_reflect_importance_samples=4,
+                      use_proposal=True, num_proposal_samples=8)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    prop = proposal.init_proposal_params(jax.random.PRNGKey(1))
+    R = 8
+    key = jax.random.PRNGKey(2)
+    d = jax.random.normal(key, (R, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rb = M.apply_collider(RayBundle(
+        origins=jnp.zeros((R, 3)), directions=d,
+        pixel_area=jnp.full((R, 1), 1e-6),
+        nears=jnp.zeros((R, 1)), fars=jnp.ones((R, 1))), cfg)
+
+    out = lambda a: jax.jit(lambda p: M.get_outputs(
+        p, rb, key, cfg, training=False, prop_params=prop,
+        prop_anneal=a))(params)
+    o_none = jax.jit(lambda p: M.get_outputs(
+        p, rb, key, cfg, training=False, prop_params=prop))(params)
+    o1 = out(1.0)
+    o0 = out(0.0)
+
+    # anneal=1 is exactly the unannealed program
+    np.testing.assert_array_equal(np.asarray(o1["mid_rgb_fine"]),
+                                  np.asarray(o_none["mid_rgb_fine"]))
+    # raw proposal weights reported regardless of anneal
+    np.testing.assert_array_equal(np.asarray(o0["prop_weights"]),
+                                  np.asarray(o1["prop_weights"]))
+    np.testing.assert_array_equal(np.asarray(o0["weights_coarse"]),
+                                  np.asarray(o1["weights_coarse"]))
+    # anneal=0 -> flat histogram -> fine bins ~= uniform bins
+    bins0 = np.asarray(o0["fine_spacing_bins"])
+    uniform = np.linspace(0, 1, bins0.shape[-1])
+    np.testing.assert_allclose(bins0, np.broadcast_to(uniform, bins0.shape),
+                               atol=0.08)
+    assert np.isfinite(np.asarray(o0["mid_rgb_fine"])).all()
+
+
+def test_distortion_loss_matches_bruteforce_and_behaves():
+    """O(S) cumsum form == O(S^2) pairwise definition; compact unimodal
+    weights score lower than spread-out ones; gradient is nonzero."""
+    rng = np.random.default_rng(3)
+    R, S = 5, 16
+    bins = np.sort(rng.uniform(0, 1, (R, S + 1)), axis=-1)
+    w = rng.uniform(0, 1, (R, S))
+    w = w / w.sum(-1, keepdims=True)
+
+    got = np.asarray(proposal.distortion_per_ray(
+        jnp.asarray(w)[..., None], jnp.asarray(bins)))
+    u = 0.5 * (bins[:, 1:] + bins[:, :-1])
+    inter = np.einsum("ri,rj,rij->r", w, w,
+                      np.abs(u[:, :, None] - u[:, None, :]))
+    intra = np.sum(w**2 * (bins[:, 1:] - bins[:, :-1]), -1) / 3.0
+    np.testing.assert_allclose(got, inter + intra, rtol=1e-5, atol=1e-7)
+
+    # concentration: all mass in one bin beats mass spread over all bins
+    edges = np.broadcast_to(np.linspace(0, 1, S + 1), (1, S + 1))
+    spike = np.zeros((1, S)); spike[0, S // 2] = 1.0
+    flat = np.full((1, S), 1.0 / S)
+    d_spike = float(proposal.distortion_per_ray(
+        jnp.asarray(spike)[..., None], jnp.asarray(edges))[0])
+    d_flat = float(proposal.distortion_per_ray(
+        jnp.asarray(flat)[..., None], jnp.asarray(edges))[0])
+    assert d_spike < d_flat
+
+    g = jax.grad(lambda ww: jnp.sum(proposal.distortion_per_ray(
+        ww, jnp.asarray(bins))))(jnp.asarray(w)[..., None])
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_distortion_loss_trains_the_main_field():
+    """With distortion_loss_mult > 0 the loss key appears and its
+    gradient reaches the MAIN field's density params (the whole point:
+    outputs['weights_fine'] is detached, the wiring must use the live
+    weights)."""
+    from rsn.core.rays import RayBundle
+    from rsn.models import field as field_lib
+    from rsn.models import model as M
+
+    cfg = ModelConfig(num_coarse_samples=8, num_importance_samples=8,
+                      num_reflect_coarse_samples=4,
+                      num_reflect_importance_samples=4,
+                      use_proposal=True, num_proposal_samples=8,
+                      distortion_loss_mult=0.002)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    prop = proposal.init_proposal_params(jax.random.PRNGKey(1))
+    R = 8
+    key = jax.random.PRNGKey(2)
+    d = jax.random.normal(key, (R, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rb = M.apply_collider(RayBundle(
+        origins=jnp.zeros((R, 3)), directions=d,
+        pixel_area=jnp.full((R, 1), 1e-6),
+        nears=jnp.zeros((R, 1)), fars=jnp.ones((R, 1))), cfg)
+    gt = jnp.zeros((R, 3))
+    coeffs = {k: jnp.float32(1.0) for k in (
+        "loss_mid_fine", "loss_reflect_mid_coarse",
+        "loss_reflect_mid_fine", "predicted_normal_loss_fine",
+        "orientation_loss_fine", "interlevel_loss", "distortion_loss")}
+
+    def distortion_only(p):
+        out = M.get_outputs(p, rb, key, cfg, training=True,
+                            prop_params=prop)
+        ld = M.get_loss_dict(out, gt, coeffs)
+        assert "distortion_loss" in ld
+        return ld["distortion_loss"]
+
+    g = jax.grad(distortion_only)(params)
+    gmax = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g))
+    assert np.isfinite(gmax) and gmax > 0, gmax
