@@ -146,6 +146,12 @@ class DataManagerConfig:
     # (per-camera se(3) deltas trained by the camera_opt group;
     # rsn/models/camera_opt.py)
     camera_optimizer: str = "off"
+    # L2 gauge regularizer on the pose deltas (nerfstudio
+    # CameraOptimizerConfig rot_l2_penalty / trans_l2_penalty
+    # semantics); keeps poses from drifting when they are already good,
+    # at the cost of biasing large genuine corrections low
+    camera_opt_rot_penalty: float = 1e-3
+    camera_opt_trans_penalty: float = 1e-2
 
 
 @dataclass(frozen=True)

@@ -135,10 +135,13 @@ def make_train_step(config: TrainerConfig):
             if cam is not None:
                 # gauge-freedom regularizer (nerfstudio camera-opt
                 # rot/trans L2 penalties; see camera_opt.py)
+                dmcfg = config.pipeline.datamanager
                 loss_dict = dict(
                     loss_dict,
                     camera_opt_regularizer=
-                    camera_opt_lib.regularization_loss(cam))
+                    camera_opt_lib.regularization_loss(
+                        cam, dmcfg.camera_opt_rot_penalty,
+                        dmcfg.camera_opt_trans_penalty))
             aux = {"mask_fraction": jnp.mean(
                 outputs["mask"].astype(jnp.float32)),
                 "reflect_overflow": outputs["reflect_overflow"]}

@@ -321,7 +321,7 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
                                                "inner", "interpret"))
 def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
-                      tile: int = 512, inner: int = 8,
+                      tile: int = 512, inner: int = 16,
                       interpret: bool = False):
     """2D-grid recompute-backward: same math as v3, but the fp32 wgrad
     accumulators live per OUTER grid group ((outer, rows, cols) outputs,

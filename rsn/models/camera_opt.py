@@ -8,12 +8,23 @@ TPU-native implementation so the configured group can do its job on
 real captures with imperfect poses:
 
 - mode "SO3xR3": one se(3) delta (omega(3), t(3)) per training camera,
-  zeros-init, applied as a WORLD-side left correction to each sampled
-  ray:  origins' = R(omega) @ origins + t,  dirs' = R(omega) @ dirs.
-  (nerfstudio right-multiplies the camera-to-world instead; both
-  parameterizations start at identity and span the same refinement
-  space — the world-side form needs no camera-to-world inside the
-  train step, keeping ray correction a pure per-ray op.)
+  zeros-init, applied about the CAMERA CENTER of each sampled ray:
+  origins' = origins + t,  dirs' = R(omega) @ dirs.  All rays of a
+  pinhole camera share their origin (the camera center), so this is
+  exactly nerfstudio's c2w right-multiply up to a fixed per-camera
+  linear reparameterization (t in world axes instead of camera axes;
+  omega conjugated by the camera rotation) — same optimization
+  geometry, but needing no camera-to-world inside the train step
+  (ray correction stays a pure per-ray op).
+
+  An earlier world-side LEFT form (origins' = R @ origins + t,
+  rotation about the WORLD origin) spans the same space but is
+  ill-conditioned: at camera distance |o| ~ 4 the rotation's leverage
+  on the camera center (d(R o)/d omega ~ |o|) swamps its effect on
+  the viewing direction, coupling omega and t into a narrow curved
+  valley — measured frozen-field recovery STALLED (2.0deg -> 2.1deg
+  after 3k steps) where the decoupled form recovers
+  (tests/test_camera_opt_recovery.py).
 
 Everything is differentiable and fixed-shape: the per-ray delta lookup
 is a (R,)-gather on camera_indices, and the Rodrigues rotation uses
@@ -71,7 +82,10 @@ def apply_to_bundle(bundle: RayBundle, cam_params,
         "camera optimizer needs camera_indices on the ray bundle")
     deltas = cam_params["deltas"][bundle.camera_indices[..., 0]]  # (R, 6)
     omega, t = deltas[..., 0:3], deltas[..., 3:6]
-    origins = rotate_rodrigues(omega, bundle.origins) + t
+    # rotation acts about the camera center (= every ray's origin), so
+    # it moves directions only; translation moves the center.  See the
+    # module docstring for why the origin must NOT be rotated.
+    origins = bundle.origins + t
     dirs = rotate_rodrigues(omega, bundle.directions)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     return bundle.replace(origins=origins, directions=dirs)
