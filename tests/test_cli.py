@@ -37,6 +37,23 @@ def test_registry():
         get_method("nope")
 
 
+def test_proposal_preset_ships_quality_parity_defaults():
+    """The reflect-sampling-nerf-proposal preset must keep the knobs
+    that closed its quality gap (BASELINE.md r2 ladder: 22.1 -> 23.59
+    full-split PSNR): weight anneal ON, distortion 0.002.  bench.py's
+    headline measures this exact preset."""
+    from rsn.cli.registry import get_method
+    m = get_method("reflect-sampling-nerf-proposal").config_factory()
+    mcfg = m.pipeline.model
+    assert mcfg.use_proposal
+    assert mcfg.proposal_weights_anneal_max_num_iters > 0
+    assert mcfg.distortion_loss_mult == 0.002
+    # and the parity default keeps both inert
+    base = get_method("reflect-sampling-nerf").config_factory()
+    assert not base.pipeline.model.use_proposal
+    assert base.pipeline.model.distortion_loss_mult == 0.0
+
+
 def test_run_io_config_roundtrip(tmp_path):
     from rsn.cli.run_io import load_config
     from rsn.engine.checkpoints import dump_config
