@@ -45,8 +45,13 @@ def main() -> None:
     config = TrainerConfig()
     # bf16 trunk matmuls on TPU (fp32 elsewhere)
     import dataclasses
+    # parity config = the reference-default scheme: every masked ray
+    # pays the reflected passes (reflect_ray_fraction 1.0, the setting
+    # tests/test_full_model_oracle.py actually locks to the reference);
+    # the 0.5-compaction training default is measured via the preset
     mcfg = dataclasses.replace(config.pipeline.model,
-                               compute_dtype="bfloat16")
+                               compute_dtype="bfloat16",
+                               reflect_ray_fraction=1.0)
     config = dataclasses.replace(
         config, pipeline=dataclasses.replace(config.pipeline, model=mcfg))
 

@@ -44,6 +44,11 @@ from rsn.parallel import mesh as mesh_lib
 # of slack above the observed mask fraction.
 REFLECT_FRACTION_BUCKETS = (0.25, 0.375, 0.5, 0.625, 0.75, 1.0)
 REFLECT_HEADROOM = 0.1
+# Controller cadence when logging is disabled (steps_per_log <= 0):
+# the controller must keep running — a run silenced for speed would
+# otherwise train forever at the compaction floor with overflow never
+# corrected (round-2 review finding).
+REFLECT_ADAPT_FALLBACK_CADENCE = 100
 
 
 @struct.dataclass
@@ -393,6 +398,11 @@ class Trainer:
         self._multi_step_cache: Dict[float, Any] = {}
         self._reflect_down_votes = 0
         self._multi_step_fn = self._build_multi_step(self._reflect_frac)
+        # controller cadence is independent of logging so that
+        # steps_per_log=0 cannot silently disable adaptation
+        self._adapt_cadence = (config.steps_per_log
+                               if config.steps_per_log > 0
+                               else REFLECT_ADAPT_FALLBACK_CADENCE)
 
         params = field_lib.init_field_params(
             jax.random.PRNGKey(config.seed))
@@ -570,6 +580,7 @@ class Trainer:
             camera_opt_state=restored.get("camera_opt_state"),
             proposal=restored.get("proposal"),
             proposal_opt_state=restored.get("proposal_opt_state"))
+        self._restore_controller_state(os.path.dirname(path))
 
     def _log(self, step: int, metrics: Dict[str, float]) -> None:
         self._log_file.write(json.dumps({"step": step, **metrics}) + "\n")
@@ -625,6 +636,8 @@ class Trainer:
             cap = 1
         cadences = [cfg.steps_per_log, cfg.steps_per_eval_batch,
                     cfg.steps_per_eval_image, cfg.steps_per_save]
+        if cfg.adaptive_reflect_fraction:
+            cadences.append(self._adapt_cadence)
         nxt = max_steps
         for c in cadences:
             if c > 0:
@@ -665,14 +678,17 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profiling = False
             hit = lambda c: c > 0 and step % c == 0
-            if hit(cfg.steps_per_log) or first:
-                first = False
+            adapt_now = (cfg.adaptive_reflect_fraction
+                         and hit(self._adapt_cadence))
+            if hit(cfg.steps_per_log) or first or adapt_now:
                 # one bulk device_get (each float() would pay a full
                 # host round trip — ~90 ms on tunneled backends)
                 metrics = jax.device_get(metrics)
                 metrics = {k: float(v) for k, v in metrics.items()}
-                if hit(cfg.steps_per_log):  # not the dispatch-dependent
-                    self._maybe_adapt_reflect_fraction(metrics)  # first log
+            if adapt_now:  # fixed cadence, never the dispatch-dependent
+                self._maybe_adapt_reflect_fraction(metrics)  # first log
+            if hit(cfg.steps_per_log) or first:
+                first = False
                 metrics["reflect_fraction"] = self._reflect_frac
                 if not cfg.debug_telemetry:
                     metrics.pop("mask_fraction", None)
@@ -707,4 +723,32 @@ class Trainer:
                                          self.state.params,
                                          self.state.opt_state,
                                          extra or None)
+                self._save_controller_state(step)
         return last_metrics
+
+    def _controller_state_path(self, ckpt_dir: str) -> str:
+        return os.path.join(ckpt_dir, "trainer_state.json")
+
+    def _save_controller_state(self, step: int) -> None:
+        """Sidecar for host-side trainer state (the adaptive
+        reflect-compaction fraction): without it a --load-dir resume
+        restarts at the compaction floor and silently drops masked
+        rays until the next adapt boundary (round-2 review finding)."""
+        with open(self._controller_state_path(self.ckpt_dir), "w") as f:
+            json.dump({"step": step,
+                       "reflect_fraction": self._reflect_frac}, f)
+
+    def _restore_controller_state(self, ckpt_dir: str) -> None:
+        path = self._controller_state_path(ckpt_dir)
+        if not os.path.exists(path):
+            return
+        try:
+            with open(path) as f:
+                saved = json.load(f)
+            frac = float(saved["reflect_fraction"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return
+        floor = self.config.pipeline.model.reflect_ray_fraction
+        frac = max(frac, floor)
+        if frac != self._reflect_frac:
+            self._set_reflect_fraction(frac)

@@ -261,6 +261,7 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
     E^T in-kernel (the (N, 512) per-sample dg never touches HBM).
     """
     n = mean_cov.shape[0]
+    assert n % tile == 0, (n, tile)
     grid = (n // tile,)
     assert tile % samples_per_ray == 0, (tile, samples_per_ray)
     rays_per_tile = tile // samples_per_ray
@@ -334,6 +335,7 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
     happens once per group (outer * ~2.7 MB of extra HBM writes).
     """
     n = mean_cov.shape[0]
+    assert n % tile == 0, (n, tile)
     n_tiles = n // tile
     inner = max(1, min(inner, n_tiles))
     while n_tiles % inner:
@@ -470,17 +472,29 @@ def _fwd(params, mean_cov, g_bands, samples_per_ray, tile, want_normals):
     return out, (params, mean_cov, g_bands)
 
 
+def bwd_rays_per_tile(tile, samples_per_ray):
+    """Rays per backward tile, given the FORWARD tile (rows).
+
+    The halved kernel body keeps the per-half working set small enough
+    that the recompute-backward fits (and runs ~10% faster) at
+    tile=1024; 2048 regresses (VMEM pressure).  Constraints: the
+    per-ray dg block needs >=8 sublanes (8 rays/tile), and the backward
+    tile must DIVIDE the row count — which the caller pads to a
+    multiple of the forward tile — so pick the largest divisor of the
+    forward rays-per-tile that fits the ~1024-row budget (falling back
+    to the forward tile itself, e.g. samples_per_ray 96 where no
+    divisor of 21 is >= 8).
+    """
+    rays_fwd = tile // samples_per_ray
+    target = max(1, min(tile, 1024) // samples_per_ray)
+    return next((d for d in range(min(rays_fwd, target), 0, -1)
+                 if rays_fwd % d == 0 and d >= 8), rays_fwd)
+
+
 def _bwd(samples_per_ray, tile, want_normals, res, d_out):
     params, mean_cov, g_bands = res
     packed = pack_params_v3(params)
-    # the halved kernel body keeps the per-half working set small
-    # enough that the recompute-backward fits (and runs ~10% faster)
-    # at tile=1024; 2048 regresses (VMEM pressure).  Lower bound: the
-    # per-ray dg block needs >=8 sublanes (8 rays/tile).  Clamp in RAY
-    # units so the result is always a multiple of samples_per_ray
-    # (a raw min(tile, 1024) trips the tile-divisibility assert for
-    # sample counts that don't divide 1024, e.g. 96).
-    rays_per_tile_bwd = max(8, min(tile, 1024) // samples_per_ray)
+    rays_per_tile_bwd = bwd_rays_per_tile(tile, samples_per_ray)
     dmc, dg, dpacked = field_backward_v4(
         packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
         samples_per_ray, samples_per_ray * rays_per_tile_bwd)

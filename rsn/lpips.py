@@ -120,12 +120,16 @@ def lpips_distance(params: Params, img0: jax.Array, img1: jax.Array,
 def load_torch_weights(path: str) -> Optional[Params]:
     """Load LPIPS weights from a torch checkpoint on disk.
 
-    Accepts any of:
-    - a dict with torchvision vgg16 keys ``features.N.weight/bias`` (or
-      ``net.features.N.*``) plus lpips heads ``linN.model.1.weight`` /
-      ``lin.N.model.1.weight`` / ``linN.weight``;
-    - torchmetrics' LPIPS state dict: ``net.sliceN.M.weight/bias`` +
-      ``lin.N.model.1.weight``.
+    Accepts any of (each optionally nested under one or two ``net.``
+    prefixes — the lpips package stores VGG as ``self.net``, and
+    torchmetrics wraps the whole lpips module as ``self.net`` again, so
+    its keys are ``net.net.sliceS.N.*`` / ``net.linN.model.1.weight``):
+    - torchvision vgg16 keys ``features.N.weight/bias`` plus lpips
+      heads ``linN.model.1.weight`` / ``lins.N.model.1.weight`` /
+      ``linN.weight``;
+    - lpips/torchmetrics slice naming ``sliceS.N.weight/bias`` (N is
+      the global torchvision feature index — the lpips package keeps
+      it when it splits features into slices).
     Returns None if torch or the file is unavailable.
     """
     import os
@@ -142,8 +146,9 @@ def load_torch_weights(path: str) -> Optional[Params]:
 
     def find(*names):
         for n in names:
-            if n in sd:
-                return sd[n]
+            for p in ("", "net.", "net.net."):
+                if p + n in sd:
+                    return sd[p + n]
         return None
 
     # conv weights: torchvision features.N or torchmetrics net.sliceS.N
@@ -155,17 +160,15 @@ def load_torch_weights(path: str) -> Optional[Params]:
     convs = []
     for ci, fi in enumerate(VGG16_CONV_IDX):
         s = slice_of_conv[ci]
-        w = find(f"features.{fi}.weight", f"net.features.{fi}.weight",
-                 f"net.slice{s}.{fi}.weight")
-        b = find(f"features.{fi}.bias", f"net.features.{fi}.bias",
-                 f"net.slice{s}.{fi}.bias")
+        w = find(f"features.{fi}.weight", f"slice{s}.{fi}.weight")
+        b = find(f"features.{fi}.bias", f"slice{s}.{fi}.bias")
         if w is None or b is None:
             return None
         convs.append({"w": jnp.asarray(w, jnp.float32),
                       "b": jnp.asarray(b, jnp.float32)})
     lins = []
     for li, c in enumerate(LIN_CHANNELS):
-        w = find(f"lin{li}.model.1.weight", f"lin.{li}.model.1.weight",
+        w = find(f"lin{li}.model.1.weight", f"lins.{li}.model.1.weight",
                  f"lin{li}.weight")
         if w is None:
             return None

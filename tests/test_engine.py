@@ -262,6 +262,48 @@ def test_adaptive_reflect_fraction_controller(tmp_path):
     assert tr._reflect_frac == 0.5
 
 
+def test_adaptive_controller_runs_with_logging_disabled(tmp_path):
+    """steps_per_log=0 must not disable the compaction controller
+    (round-2 review finding): the adapt cadence falls back to
+    REFLECT_ADAPT_FALLBACK_CADENCE and the chunker stops at it."""
+    from rsn.engine import trainer as trainer_lib
+
+    cfg = dataclasses.replace(_mini_trainer_cfg(tmp_path),
+                              steps_per_log=0)
+    tr = trainer_lib.Trainer(cfg)
+    assert tr._adapt_cadence == trainer_lib.REFLECT_ADAPT_FALLBACK_CADENCE
+    # the dispatch chunker must stop at the adapt boundary even with
+    # every logging/eval cadence disabled
+    cfg2 = dataclasses.replace(
+        cfg, steps_per_eval_batch=0, steps_per_eval_image=0,
+        steps_per_save=0, steps_per_dispatch=10_000)
+    tr2 = trainer_lib.Trainer(cfg2)
+    assert tr2._next_chunk(tr2._adapt_cadence - 1, 10_000) == 1
+    # and the controller is actually invoked at that boundary
+    calls = []
+    tr2._maybe_adapt_reflect_fraction = lambda m: calls.append(dict(m))
+    tr2.train(max_steps=tr2._adapt_cadence)
+    assert calls, "controller never ran with steps_per_log=0"
+
+
+def test_reflect_fraction_survives_resume(tmp_path):
+    """The adapted compaction fraction persists through save/restore
+    instead of resetting to the floor until the next adapt boundary."""
+    from rsn.engine.trainer import Trainer
+
+    cfg = _mini_trainer_cfg(tmp_path)
+    tr = Trainer(cfg)
+    tr._maybe_adapt_reflect_fraction({"mask_fraction": 0.60,
+                                      "reflect_overflow": 0.0})
+    assert tr._reflect_frac == 0.75
+    tr.train()  # saves at step 6 (steps_per_save=6) + sidecar
+    tr2 = Trainer(dataclasses.replace(cfg, output_dir=str(tmp_path / "r")))
+    assert tr2._reflect_frac == 0.5
+    tr2.restore(tr.ckpt_dir)
+    assert tr2._reflect_frac == 0.75
+    assert int(tr2.state.step) == 6
+
+
 def test_multi_step_dispatch_chunking_invariant(tmp_path):
     """Fusing K steps into one dispatch (lax.fori_loop) must produce
     bit-identical params to step-at-a-time dispatch: per-step PRNG keys

@@ -20,7 +20,7 @@ N = R * S
 TILE = 32  # 4 rays per tile, 2 grid steps
 
 
-def shadow(params, mc, g):
+def shadow(params, mc, g, s=S):
     """Pure-JAX mirror of _kernel_v3 / _bwd_kernel forward math."""
     packed = fp.pack_params_v3(params)
     (w0, w1, w2, w3, w4, w5, w6, w7,
@@ -51,7 +51,7 @@ def shadow(params, mc, g):
     normals_raw = heads[:, 264:267]
     rough_sp = jax.lax.stop_gradient(jax.nn.softplus(rough_raw))
 
-    g_rep = jnp.repeat(g, S, axis=0)  # (N, 512)
+    g_rep = jnp.repeat(g, s, axis=0)  # (N, 512)
     mid_pre = jax.lax.dot_general(bneck, w_emb, (((1,), (0,)), ((), ())),
                                   preferred_element_type=f32) + b_mid
     for bi, k in enumerate(ft._BAND_KS):
@@ -273,3 +273,89 @@ def test_custom_vjp_chain_end_to_end(setup):
     finally:
         setattr(ft, fp_fwd_name, orig_fwd)
         setattr(ft, ft_bwd_name, orig_bwd)
+
+
+def test_bwd_rays_per_tile_divides_forward_tile():
+    """The backward tile must divide any multiple of the forward tile
+    (the caller pads rows to the forward tile), need >=8 sublanes when
+    possible, and keep the default configs on their tuned 1024-row
+    tiles."""
+    for spr in (8, 64, 96, 100, 128, 160, 256, 384):
+        for base in (512, 1024, 2048, 4096):
+            rays_fwd = max(8, base // spr)
+            tile = spr * rays_fwd
+            r = ft.bwd_rays_per_tile(tile, spr)
+            assert rays_fwd % r == 0, (spr, base, rays_fwd, r)
+            assert r >= 8 or r == rays_fwd, (spr, base, r)
+            assert r * spr <= 1024 or r == rays_fwd, (spr, base, r)
+    # tuned defaults unchanged: S=128/64 at forward tile 2048 -> 1024
+    assert ft.bwd_rays_per_tile(2048, 128) * 128 == 1024
+    assert ft.bwd_rays_per_tile(2048, 64) * 64 == 1024
+
+
+def test_backward_v4_rejects_non_dividing_tile(setup):
+    """Non-divisible row counts must fail loudly, not silently
+    truncate the grid (round-2 review finding)."""
+    params, mc, g = setup
+    packed = fp.pack_params_v3(params)
+    d_out = jnp.zeros((N, fp.V3_OUT), jnp.bfloat16)
+    with pytest.raises(AssertionError):
+        ft.field_backward_v4(packed, mc, g, d_out, S,
+                             tile=3 * S, interpret=True)  # 64 % 24 != 0
+
+
+def test_custom_vjp_chain_non_dividing_sample_count():
+    """samples_per_ray=96 (does not divide 1024): the fused path must
+    produce correct gradients for every ray — the exact scenario where
+    the old ray-unit clamp silently truncated the backward grid."""
+    import functools
+    spr, rays = 96, 21           # forward tile 2016 rows (21 rays)
+    tile = spr * rays
+    n = rays * spr
+    params = field_lib.init_field_params(jax.random.PRNGKey(10))
+    key = jax.random.PRNGKey(11)
+    mean = jax.random.normal(key, (n, 3)) * 0.5
+    cov = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1),
+                                    (n, 3))) * 1e-2
+    mc = jnp.pad(jnp.concatenate([mean, cov], axis=-1),
+                 ((0, 0), (0, 10))).astype(jnp.float32)
+    dirs = jax.random.normal(jax.random.fold_in(key, 2), (rays, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    g = fp.mid_g_bands(params, dirs)
+    # selection must fall back to the full forward tile (no divisor of
+    # 21 is >= 8), which always divides the padded row count
+    assert ft.bwd_rays_per_tile(tile, spr) == rays
+
+    # weight only the LAST ray's rows: under the old truncated grid
+    # these rows were never written, so their gradient was garbage/zero
+    w_rand = jnp.zeros((n, fp.V3_OUT))
+    w_rand = w_rand.at[-spr:].set(
+        jax.random.normal(jax.random.PRNGKey(12), (spr, fp.V3_OUT)))
+
+    orig_fwd, orig_bwd = ft.field_forward_v3, ft.field_backward_v4
+    setattr(ft, "field_forward_v3",
+            functools.partial(orig_fwd, interpret=True))
+    setattr(ft, "field_backward_v4",
+            functools.partial(orig_bwd, interpret=True))
+    try:
+        def loss_k(p):
+            out = ft.fused_field_train(p, mc, g, spr, tile)
+            return jnp.sum(out.astype(jnp.float32) * w_rand)
+
+        def loss_s(p):
+            return jnp.sum(shadow(p, mc, g, s=spr).astype(jnp.float32)
+                           * w_rand)
+
+        gk = jax.grad(loss_k)(params)
+        gs = jax.grad(loss_s)(params)
+        ref = np.abs(np.asarray(gs["trunk"][7]["w"])).max()
+        assert ref > 0
+        np.testing.assert_allclose(np.asarray(gk["trunk"][7]["w"]),
+                                   np.asarray(gs["trunk"][7]["w"]),
+                                   atol=max(0.1, 0.05 * ref), rtol=0.1)
+        np.testing.assert_allclose(np.asarray(gk["diff"]["w"]),
+                                   np.asarray(gs["diff"]["w"]),
+                                   atol=0.05, rtol=0.1)
+    finally:
+        setattr(ft, "field_forward_v3", orig_fwd)
+        setattr(ft, "field_backward_v4", orig_bwd)

@@ -32,3 +32,31 @@ def test_dryrun_multichip_survives_poisoned_env():
         env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "dryrun_multichip(4): OK" in res.stdout
+
+
+def test_force_cpu_env_recipe():
+    """The shared env helper (single source of truth for the driver
+    hook and tools/exp_dp_scaling.py) strips the axon tunnel var,
+    forces the CPU platform, and replaces any pre-existing fake-device
+    flag instead of appending a duplicate."""
+    from rsn.utils.env import force_cpu_env
+
+    os.environ.setdefault("XLA_FLAGS", "")
+    old = dict(os.environ)
+    try:
+        os.environ["PALLAS_AXON_POOL_IPS"] = "10.0.0.1"
+        os.environ["XLA_FLAGS"] = (
+            "--xla_force_host_platform_device_count=2 --xla_foo=bar")
+        env = force_cpu_env(8, repo_root=REPO)
+        assert "PALLAS_AXON_POOL_IPS" not in env
+        assert env["JAX_PLATFORMS"] == "cpu"
+        flags = env["XLA_FLAGS"].split()
+        assert "--xla_force_host_platform_device_count=8" in flags
+        assert "--xla_force_host_platform_device_count=2" not in flags
+        assert "--xla_foo=bar" in flags
+        assert env["PYTHONPATH"].startswith(REPO + os.pathsep)
+        # caller's env is untouched
+        assert os.environ["PALLAS_AXON_POOL_IPS"] == "10.0.0.1"
+    finally:
+        os.environ.clear()
+        os.environ.update(old)

@@ -105,6 +105,39 @@ def test_torch_checkpoint_loader_roundtrip(setup, tmp_path):
     assert a == pytest.approx(b, rel=1e-6)
 
 
+def test_torchmetrics_state_dict_naming_loads(setup, tmp_path):
+    """torchmetrics double-nests the lpips module (self.net -> lpips,
+    whose VGG is another self.net): conv keys 'net.net.sliceS.N.*',
+    lin keys 'net.lin0.model.1.weight' and the shared-parameter alias
+    'net.lins.0.model.1.weight' (round-2 review finding: the loader
+    previously missed every one of these and returned None)."""
+    params, img0, img1 = setup
+    slice_of = [sum(1 for b in L.SLICE_AFTER_CONV if b < ci) + 1
+                for ci in range(len(L.VGG16_CONV_IDX))]
+    sd = {}
+    for ci, fi in enumerate(L.VGG16_CONV_IDX):
+        s = slice_of[ci]
+        sd[f"net.net.slice{s}.{fi}.weight"] = torch.from_numpy(
+            np.asarray(params["convs"][ci]["w"]))
+        sd[f"net.net.slice{s}.{fi}.bias"] = torch.from_numpy(
+            np.asarray(params["convs"][ci]["b"]))
+    for li, lin in enumerate(params["lins"]):
+        v = torch.from_numpy(np.asarray(lin).reshape(1, -1, 1, 1))
+        if li % 2 == 0:   # torchmetrics stores BOTH spellings; make
+            sd[f"net.lin{li}.model.1.weight"] = v   # each alone work
+        else:
+            sd[f"net.lins.{li}.model.1.weight"] = v
+    path = tmp_path / "torchmetrics_lpips.pth"
+    torch.save(sd, str(path))
+    loaded = L.load_torch_weights(str(path))
+    assert loaded is not None
+    a = float(L.lpips_distance(params, jnp.asarray(img0),
+                               jnp.asarray(img1)))
+    b = float(L.lpips_distance(loaded, jnp.asarray(img0),
+                               jnp.asarray(img1)))
+    assert a == pytest.approx(b, rel=1e-6)
+
+
 def test_metrics_entry_uses_weights_file(setup, tmp_path, monkeypatch):
     """fine_lpips appears whenever a weights file is provided
     (VERDICT r1 #5 'done' criterion), via $RSN_LPIPS_WEIGHTS."""

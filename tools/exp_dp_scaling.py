@@ -72,17 +72,13 @@ def main() -> None:
         measure(int(sys.argv[1]))
         return
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here) if here not in sys.path else None
+    from rsn.utils.env import force_cpu_env
+
     for d in (1, 2, 4, 8):
-        env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = [f for f in env.get("XLA_FLAGS", "").split()
-                 if "host_platform_device_count" not in f]
-        flags.append(f"--xla_force_host_platform_device_count={d}")
-        env["XLA_FLAGS"] = " ".join(flags)
-        env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
         subprocess.run([sys.executable, os.path.abspath(__file__),
-                        str(d)], env=env, check=True)
+                        str(d)], env=force_cpu_env(d, repo_root=here),
+                       check=True)
 
 
 if __name__ == "__main__":
