@@ -1,11 +1,16 @@
-"""rsn-viewer — a lightweight browser viewer (the ns-viewer equivalent).
+"""rsn-viewer — a browser viewer over websockets (the ns-viewer
+equivalent).
 
-Serves a single-page viewer over HTTP: orbit the camera with drag /
-scroll; each pose change requests a fresh render from the model.  This
-replaces the reference's inherited websocket viewer
-(reflect_sampling_nerf_config.py:59-60: viewer chunk 1024, vis="viewer")
-with a dependency-free stdlib server — the render itself runs the same
-chunked `render_image` path as eval.
+Like the reference's inherited nerfstudio viewer
+(reflect_sampling_nerf_config.py:59-60: viewer chunk 1024,
+vis="viewer"), the client holds a persistent WebSocket and the server
+PUSHES rendered frames: the browser streams camera poses up, the
+server streams progressively-refined PNG frames down, coalescing stale
+poses whenever the camera moves faster than the renderer.  The wire
+layer is a dependency-free RFC 6455 implementation
+(rsn/utils/websocket.py); plain HTTP GET /render remains as a fallback
+transport for clients without websocket support.  The render itself
+runs the same chunked `render_image` path as eval.
 
 Streaming quality levels: interactive moves render at 1/4 resolution;
 once the camera settles the same pose re-renders at 1/2 then full
@@ -25,6 +30,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import select
 import sys
 import threading
 import time
@@ -32,6 +38,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+from rsn.utils import websocket as ws_lib
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>rsn viewer</title><style>
@@ -45,10 +53,38 @@ img { display:block; margin:0 auto; image-rendering:pixelated;
 <script>
 let theta = 0, phi = 0.3, r = 1.0, drag = false, lx = 0, ly = 0;
 let mode = "rgb", inflight = false, dirty = false, q = 0;
-let path = [];
+let path = [], ws = null, wsOk = false;
 const img = document.getElementById("view");
 const hud = document.getElementById("hud");
-function refresh() {
+function connectWs() {
+  try { ws = new WebSocket(`ws://${location.host}/ws`); }
+  catch (e) { return; }
+  ws.binaryType = "arraybuffer";
+  ws.onopen = () => { wsOk = true; sendPose(); };
+  ws.onclose = ws.onerror = () => { wsOk = false; };
+  ws.onmessage = ev => {
+    if (typeof ev.data === "string") {
+      const d = JSON.parse(ev.data);
+      if (d.type === "path_exported") {
+        hud.textContent = `wrote ${d.path}`; path = [];
+      }
+      return;
+    }
+    // binary frame: [quality byte][png]; server pushes q=0,1,2
+    const bytes = new Uint8Array(ev.data);
+    const url = URL.createObjectURL(
+      new Blob([bytes.subarray(1)], {type: "image/png"}));
+    const old = img.src;
+    img.onload = () => { if (old.startsWith("blob:")) URL.revokeObjectURL(old); };
+    img.src = url;
+  };
+}
+function sendPose() {
+  if (wsOk) {
+    ws.send(JSON.stringify({type: "pose", theta, phi, r, mode}));
+  } else { q = 0; refresh(); }
+}
+function refresh() {   // HTTP fallback transport
   if (inflight) { dirty = true; return; }
   inflight = true;
   const src = `/render?theta=${theta}&phi=${phi}&r=${r}&mode=${mode}&q=${q}`;
@@ -60,7 +96,8 @@ function refresh() {
   };
   probe.src = src;
 }
-function interact() { q = 0; refresh(); }
+function interact() { sendPose(); }
+connectWs();
 window.addEventListener("mousedown", e => { drag = true; lx = e.x; ly = e.y; });
 window.addEventListener("mouseup", () => drag = false);
 window.addEventListener("mousemove", e => {
@@ -80,9 +117,13 @@ window.addEventListener("keydown", e => {
     hud.textContent = `path: ${path.length} pose(s) | e: export`;
   }
   if (e.key === "e" && path.length) {
-    fetch("/export_path", {method: "POST", body: JSON.stringify(path)})
-      .then(rsp => rsp.json())
-      .then(d => { hud.textContent = `wrote ${d.path}`; path = []; });
+    if (wsOk) {
+      ws.send(JSON.stringify({type: "export_path", poses: path}));
+    } else {
+      fetch("/export_path", {method: "POST", body: JSON.stringify(path)})
+        .then(rsp => rsp.json())
+        .then(d => { hud.textContent = `wrote ${d.path}`; path = []; });
+    }
   }
 });
 </script></body></html>"""
@@ -185,6 +226,11 @@ def export_camera_path(poses, run_dir: str, cameras) -> str:
 
 
 class _Handler(BaseHTTPRequestHandler):
+    # websocket upgrades are an HTTP/1.1 feature (browsers reject a
+    # 101 on an HTTP/1.0 status line); _reply always sets
+    # Content-Length so keep-alive is safe
+    protocol_version = "HTTP/1.1"
+
     def log_message(self, *args):
         pass
 
@@ -195,9 +241,90 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    # ---- websocket transport (RFC 6455; rsn/utils/websocket.py) ----
+
+    def _ws_upgrade(self):
+        """101 handshake, then serve push-rendered frames until close."""
+        key = self.headers.get("Sec-WebSocket-Key")
+        if not key:
+            self._reply(b"missing Sec-WebSocket-Key", "text/plain", 400)
+            return
+        self.send_response(101, "Switching Protocols")
+        for name, value in ws_lib.handshake_response_headers(key):
+            self.send_header(name, value)
+        self.end_headers()
+        self.wfile.flush()
+        try:
+            self._ws_serve()
+        except (ConnectionError, OSError):
+            pass  # peer went away mid-frame; nothing to salvage
+        self.close_connection = True
+
+    def _ws_send_json(self, obj):
+        self.wfile.write(ws_lib.encode_frame(
+            json.dumps(obj).encode(), ws_lib.OP_TEXT))
+        self.wfile.flush()
+
+    def _ws_dispatch(self, msg):
+        """Handle one client message; returns a pose dict to render, or
+        None for messages answered inline (export_path)."""
+        opcode, payload = msg
+        if opcode != ws_lib.OP_TEXT:
+            return None
+        d = json.loads(payload)
+        if d.get("type") == "pose":
+            return d
+        if d.get("type") == "export_path":
+            fname = export_camera_path(d.get("poses", []), _State.run_dir,
+                                       _State.cameras)
+            self._ws_send_json({"type": "path_exported", "path": fname,
+                                "num_frames": len(d.get("poses", []))})
+        return None
+
+    def _ws_serve(self):
+        """Pose-coalescing render loop: the newest pose always wins.
+
+        Each pose renders progressively (q=0 -> 1 -> 2), pushing a
+        binary frame [quality byte][png] per level; between levels any
+        queued client messages are drained and a fresh pose restarts
+        refinement at q=0 — exactly the nerfstudio viewer's
+        move-fast/settle-sharp behavior, server-side."""
+        pending = None
+        while True:
+            if pending is None:
+                msg = ws_lib.read_message(self.rfile, self.wfile)
+                if msg is None:
+                    return
+                pending = self._ws_dispatch(msg)
+                continue
+            pose, pending = pending, None
+            for q in range(len(_QUALITY_DIVISORS)):
+                png = _render_pose(
+                    float(pose.get("theta", 0.0)),
+                    float(pose.get("phi", 0.3)),
+                    float(pose.get("r", 1.0)),
+                    str(pose.get("mode", "rgb")), q)
+                self.wfile.write(ws_lib.encode_frame(bytes([q]) + png,
+                                                     ws_lib.OP_BINARY))
+                self.wfile.flush()
+                # coalesce whatever arrived while rendering (socket-
+                # level readiness check; a frame already sitting in the
+                # rfile buffer is picked up by the next blocking read)
+                while select.select([self.connection], [], [], 0)[0]:
+                    msg = ws_lib.read_message(self.rfile, self.wfile)
+                    if msg is None:
+                        return
+                    got = self._ws_dispatch(msg)
+                    if got is not None:
+                        pending = got
+                if pending is not None:
+                    break  # newer pose: restart refinement at q=0
+
     def do_GET(self):
         url = urlparse(self.path)
-        if url.path == "/":
+        if url.path == "/ws":
+            self._ws_upgrade()
+        elif url.path == "/":
             self._reply(_PAGE.encode(), "text/html")
         elif url.path == "/render":
             q = parse_qs(url.query)
