@@ -1,7 +1,7 @@
 """Decompose the PRESET (proposal) train step — the bench headline.
 
 Times, cumulatively jitted as whole programs, at the preset's real
-shapes (1024 rays, 128 proposal + 128 fine + 64+64 reflected at the
+shapes (1024 rays, 64 proposal + 128 fine + 64+64 reflected at the
 0.5 compaction cap):
 
   prop        — proposal sampling + weights only
