@@ -73,6 +73,109 @@ def orbit_cameras(reference_cameras, num_frames: int = 60,
         width=reference_cameras.width, height=reference_cameras.height)
 
 
+def _rot_to_quat(R: np.ndarray) -> np.ndarray:
+    """3x3 rotation -> unit quaternion (w, x, y, z)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2.0
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s,
+                         (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2.0
+    q = np.empty(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def _quat_to_rot(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def _slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
+    if np.dot(q0, q1) < 0:  # shortest arc
+        q1 = -q1
+    d = np.clip(np.dot(q0, q1), -1.0, 1.0)
+    if d > 0.9995:  # nearly parallel: lerp
+        q = q0 + t * (q1 - q0)
+        return q / np.linalg.norm(q)
+    theta = np.arccos(d)
+    return (np.sin((1 - t) * theta) * q0
+            + np.sin(t * theta) * q1) / np.sin(theta)
+
+
+def interpolate_cameras(reference_cameras, steps_per_transition: int = 10):
+    """ns-render `interpolate` equivalent: a smooth path through the
+    dataset's camera poses — rotation slerp + translation lerp between
+    consecutive cameras, `steps_per_transition` frames per segment."""
+    import jax.numpy as jnp
+    from rsn.data.cameras import Cameras
+
+    ref = reference_cameras
+    c2w = np.asarray(ref.camera_to_worlds)
+    quats = [_rot_to_quat(m[:3, :3]) for m in c2w]
+    poses = []
+    for a in range(len(c2w) - 1):
+        for s in range(steps_per_transition):
+            t = s / steps_per_transition
+            m = np.eye(4, dtype=np.float32)[:3, :4].copy()
+            m[:3, :3] = _quat_to_rot(_slerp(quats[a], quats[a + 1], t))
+            m[:3, 3] = (1 - t) * c2w[a, :3, 3] + t * c2w[a + 1, :3, 3]
+            poses.append(m)
+    poses.append(c2w[-1, :3, :4])
+    n = len(poses)
+    return Cameras(
+        camera_to_worlds=jnp.asarray(np.stack(poses)),
+        fx=jnp.full((n,), float(ref.fx[0])),
+        fy=jnp.full((n,), float(ref.fy[0])),
+        cx=jnp.full((n,), float(ref.cx[0])),
+        cy=jnp.full((n,), float(ref.cy[0])),
+        width=ref.width, height=ref.height)
+
+
+def spiral_cameras(reference_cameras, num_frames: int = 60,
+                   radius_frac: float = 0.1, zrate: float = 0.5,
+                   rotations: int = 2):
+    """ns-render `spiral` equivalent: a spiral about the first dataset
+    camera, offsetting the eye in the camera's local right/up plane
+    (radius = radius_frac x its distance to the scene center) with a
+    slow vertical oscillation, all frames re-aimed at the original
+    look-at target so the subject stays centered."""
+    import jax.numpy as jnp
+    from rsn.data.cameras import Cameras
+    from rsn.data.synthetic import _look_at_pose
+
+    ref = reference_cameras
+    base = np.asarray(ref.camera_to_worlds)[0]
+    eye0 = base[:3, 3]
+    right, up = base[:3, 0], base[:3, 1]
+    radius = radius_frac * float(np.linalg.norm(eye0))
+    poses = []
+    for i in range(num_frames):
+        theta = 2.0 * np.pi * rotations * i / num_frames
+        eye = (eye0 + radius * np.cos(theta) * right
+               + radius * np.sin(theta) * up
+               + radius * zrate * np.sin(theta * 0.5) * base[:3, 2])
+        poses.append(_look_at_pose(eye.astype(np.float32)))
+    n = num_frames
+    return Cameras(
+        camera_to_worlds=jnp.asarray(np.stack(poses)[:, :3, :4]),
+        fx=jnp.full((n,), float(ref.fx[0])),
+        fy=jnp.full((n,), float(ref.fy[0])),
+        cx=jnp.full((n,), float(ref.cx[0])),
+        cy=jnp.full((n,), float(ref.cy[0])),
+        width=ref.width, height=ref.height)
+
+
 def path_cameras(path_file: str, reference_cameras):
     """Cameras from a camera-path JSON.
 
@@ -133,10 +236,14 @@ def main(argv=None) -> int:
     p.add_argument("--split", default="test")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--mode", default="split",
-                   choices=("split", "orbit", "path"),
+                   choices=("split", "orbit", "path", "interpolate",
+                            "spiral"),
                    help="split: eval cameras with gt panels; orbit: "
                         "generated orbit rgb frames; path: rgb frames "
-                        "along --camera-path")
+                        "along --camera-path; interpolate: smooth path "
+                        "through the split's poses (ns-render "
+                        "interpolate); spiral: spiral about the first "
+                        "camera (ns-render spiral)")
     p.add_argument("--num-frames", type=int, default=60)
     p.add_argument("--camera-path", default=None,
                    help="camera-path JSON for --mode path (export one "
@@ -160,11 +267,19 @@ def main(argv=None) -> int:
     mesh = mesh if mesh.devices.size > 1 else None
     mcfg = config.pipeline.model
 
-    if ns.mode in ("orbit", "path"):
+    if ns.mode in ("orbit", "path", "interpolate", "spiral"):
         if ns.mode == "path":
             if not ns.camera_path:
                 p.error("--mode path requires --camera-path")
             cams = path_cameras(ns.camera_path, dataset.cameras)
+        elif ns.mode == "interpolate":
+            n_cams = dataset.cameras.num_cameras
+            cams = interpolate_cameras(
+                dataset.cameras,
+                steps_per_transition=max(1, ns.num_frames
+                                         // max(1, n_cams - 1)))
+        elif ns.mode == "spiral":
+            cams = spiral_cameras(dataset.cameras, ns.num_frames)
         else:
             cams = orbit_cameras(dataset.cameras, ns.num_frames)
         n = cams.num_cameras if not ns.max_images else min(

@@ -1,0 +1,88 @@
+"""rsn-render interpolate/spiral camera-path generators."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from rsn.cli.render import (_quat_to_rot, _rot_to_quat, _slerp,
+                            interpolate_cameras, spiral_cameras)
+from rsn.data.cameras import Cameras
+from rsn.data.synthetic import _look_at_pose
+
+
+def _orbit_cams(n=4, radius=4.0, w=32, h=24):
+    poses = []
+    for i in range(n):
+        theta = 2.0 * np.pi * i / n * 0.4
+        eye = radius * np.array([np.cos(theta), np.sin(theta), 0.4],
+                                np.float32)
+        eye *= radius / np.linalg.norm(eye)
+        poses.append(_look_at_pose(eye)[:3, :4])
+    return Cameras(camera_to_worlds=jnp.asarray(np.stack(poses)),
+                   fx=jnp.full((n,), 30.0), fy=jnp.full((n,), 30.0),
+                   cx=jnp.full((n,), w / 2), cy=jnp.full((n,), h / 2),
+                   width=w, height=h)
+
+
+def _assert_rotations_orthonormal(c2w):
+    r = np.asarray(c2w)[:, :3, :3]
+    rtr = np.einsum("nij,nik->njk", r, r)
+    np.testing.assert_allclose(
+        rtr, np.broadcast_to(np.eye(3), rtr.shape), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+
+def test_quat_roundtrip_random_rotations():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        R = _quat_to_rot(q)
+        q2 = _rot_to_quat(R)
+        if np.dot(q, q2) < 0:
+            q2 = -q2
+        np.testing.assert_allclose(q, q2, atol=1e-6)
+
+
+def test_slerp_endpoints_and_midpoint():
+    q0 = np.array([1.0, 0.0, 0.0, 0.0])           # identity
+    q1 = np.array([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)])  # 90deg z
+    np.testing.assert_allclose(_slerp(q0, q1, 0.0), q0, atol=1e-7)
+    np.testing.assert_allclose(_slerp(q0, q1, 1.0), q1, atol=1e-7)
+    mid = _quat_to_rot(_slerp(q0, q1, 0.5))       # 45deg about z
+    np.testing.assert_allclose(mid[0, 0], np.cos(np.pi / 4), atol=1e-6)
+    np.testing.assert_allclose(mid[1, 0], np.sin(np.pi / 4), atol=1e-6)
+
+
+def test_interpolate_cameras_hits_keyframes():
+    cams = _orbit_cams(n=4)
+    out = interpolate_cameras(cams, steps_per_transition=5)
+    assert out.num_cameras == 3 * 5 + 1
+    c2w = np.asarray(out.camera_to_worlds)
+    ref = np.asarray(cams.camera_to_worlds)
+    # frames 0, 5, 10, 15 are exactly the dataset poses
+    for k in range(4):
+        np.testing.assert_allclose(c2w[5 * k], ref[k], atol=1e-5)
+    _assert_rotations_orthonormal(c2w)
+    assert out.width == 32 and float(out.fx[0]) == 30.0
+
+
+def test_interpolate_midpoint_translation_is_lerp():
+    cams = _orbit_cams(n=2)
+    out = interpolate_cameras(cams, steps_per_transition=2)
+    c2w = np.asarray(out.camera_to_worlds)
+    ref = np.asarray(cams.camera_to_worlds)
+    np.testing.assert_allclose(
+        c2w[1, :3, 3], 0.5 * (ref[0, :3, 3] + ref[1, :3, 3]), atol=1e-6)
+
+
+def test_spiral_cameras_stay_near_base():
+    cams = _orbit_cams(n=3, radius=4.0)
+    out = spiral_cameras(cams, num_frames=12, radius_frac=0.1)
+    assert out.num_cameras == 12
+    c2w = np.asarray(out.camera_to_worlds)
+    base_eye = np.asarray(cams.camera_to_worlds)[0, :3, 3]
+    d = np.linalg.norm(c2w[:, :3, 3] - base_eye, axis=-1)
+    # every eye within ~1.2x the spiral radius (0.1 * |eye| = 0.4)
+    assert np.all(d <= 0.4 * 1.2 + 1e-6)
+    assert d.max() > 0.1  # and it actually moves
+    _assert_rotations_orthonormal(c2w)
