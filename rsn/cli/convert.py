@@ -30,8 +30,13 @@ _MODEL_PREFIXES = ("_model.field.", "module._model.field.",
                    "model.field.", "field.")
 
 
-def _extract_field_state(raw: dict) -> dict:
+def _extract_field_state(raw) -> dict:
     """Pull the field's tensors out of a torch checkpoint dict."""
+    if not isinstance(raw, dict):
+        raise SystemExit(
+            "unrecognized torch checkpoint structure (expected the "
+            "nerfstudio Trainer dict {step, pipeline, ...} or a plain "
+            f"state dict, got {type(raw).__name__})")
     state = raw.get("pipeline", raw)
     if not isinstance(state, dict):
         raise SystemExit("unrecognized torch checkpoint structure")
@@ -50,6 +55,7 @@ def import_torch(torch_ckpt: str, output: str, method: str,
                  data: str = "", dataparser: str = "") -> str:
     import dataclasses
 
+    import jax
     import torch
 
     from rsn.cli.registry import get_method
@@ -74,11 +80,27 @@ def import_torch(torch_ckpt: str, output: str, method: str,
             pipeline=dataclasses.replace(config.pipeline, datamanager=dm))
     os.makedirs(output, exist_ok=True)
     ckpt_lib.dump_config(output, config)
-    # opt_state is not importable (torch Adam moments don't map onto
-    # optax RAdam state); eval/render/viewer never read it, and a
-    # resumed training run re-inits it fresh
+    # torch optimizer moments are not importable (Adam/RAdam state
+    # layouts differ), so write FRESHLY INITIALIZED optax state instead
+    # of omitting it — Trainer.restore matches the checkpoint against
+    # its real optimizer tree, so `rsn-train --load-dir` fine-tunes an
+    # imported model with reset moments (same effect as a warm restart)
+    from rsn.engine.optimizers import build_field_optimizer, build_optimizer
+
+    opt_state = build_field_optimizer(config.optimizers).init(params)
+    extra = {}
+    if config.pipeline.model.use_proposal:
+        # the reference has no proposal field; initialize one fresh so
+        # proposal-method run dirs are complete for eval AND resume
+        from rsn.models import proposal as proposal_lib
+
+        prop = proposal_lib.init_proposal_params(jax.random.PRNGKey(0))
+        extra = {"proposal": prop,
+                 "proposal_opt_state": build_optimizer(
+                     config.optimizers["proposal_networks"]).init(prop)}
     path = ckpt_lib.save_checkpoint(
-        os.path.join(output, "checkpoints"), step, params, {})
+        os.path.join(output, "checkpoints"), step, params, opt_state,
+        extra=extra)
     print(f"imported step {step}: {torch_ckpt} -> {path}")
     return output
 
@@ -117,6 +139,9 @@ def main(argv=None) -> int:
     p.add_argument("--to-torch", help="torch .ckpt path to write on export")
     ns = p.parse_args(argv)
 
+    if ns.torch_ckpt and ns.load_dir:
+        p.error("--torch-ckpt (import) and --load-dir (export) are "
+                "mutually exclusive; run two invocations")
     if ns.torch_ckpt:
         if not ns.output:
             p.error("--torch-ckpt requires --output")
@@ -130,7 +155,6 @@ def main(argv=None) -> int:
         return 0
     p.error("pass --torch-ckpt/--output (import) or "
             "--load-dir/--to-torch (export)")
-    return 2
 
 
 if __name__ == "__main__":

@@ -113,17 +113,27 @@ def _slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
             + np.sin(t * theta) * q1) / np.sin(theta)
 
 
-def interpolate_cameras(reference_cameras, steps_per_transition: int = 10):
+def interpolate_cameras(reference_cameras, steps_per_transition: int = 10,
+                        max_frames: int = 0):
     """ns-render `interpolate` equivalent: a smooth path through the
-    dataset's camera poses — rotation slerp + translation lerp between
-    consecutive cameras, `steps_per_transition` frames per segment."""
+    dataset's camera poses — rotation slerp + translation/intrinsics
+    lerp between consecutive cameras, `steps_per_transition` frames per
+    segment.  Keyframes reproduce the dataset cameras exactly
+    (projection model and per-camera distortion carry through; between
+    keyframes, distortion follows the segment's start camera).
+    max_frames > 0 evenly subsamples the path down to that many frames
+    (keeping the first and last)."""
+    import jax
     import jax.numpy as jnp
     from rsn.data.cameras import Cameras
 
     ref = reference_cameras
     c2w = np.asarray(ref.camera_to_worlds)
     quats = [_rot_to_quat(m[:3, :3]) for m in c2w]
-    poses = []
+    intr = np.stack([np.asarray(ref.fx), np.asarray(ref.fy),
+                     np.asarray(ref.cx), np.asarray(ref.cy)], axis=-1)
+    dist = None if ref.distortion is None else np.asarray(ref.distortion)
+    poses, intrs, dists = [], [], []
     for a in range(len(c2w) - 1):
         for s in range(steps_per_transition):
             t = s / steps_per_transition
@@ -131,15 +141,27 @@ def interpolate_cameras(reference_cameras, steps_per_transition: int = 10):
             m[:3, :3] = _quat_to_rot(_slerp(quats[a], quats[a + 1], t))
             m[:3, 3] = (1 - t) * c2w[a, :3, 3] + t * c2w[a + 1, :3, 3]
             poses.append(m)
+            intrs.append((1 - t) * intr[a] + t * intr[a + 1])
+            if dist is not None:
+                dists.append(dist[a])
     poses.append(c2w[-1, :3, :4])
-    n = len(poses)
-    return Cameras(
+    intrs.append(intr[-1])
+    if dist is not None:
+        dists.append(dist[-1])
+    intrs = np.stack(intrs).astype(np.float32)
+    cams = Cameras(
         camera_to_worlds=jnp.asarray(np.stack(poses)),
-        fx=jnp.full((n,), float(ref.fx[0])),
-        fy=jnp.full((n,), float(ref.fy[0])),
-        cx=jnp.full((n,), float(ref.cx[0])),
-        cy=jnp.full((n,), float(ref.cy[0])),
-        width=ref.width, height=ref.height)
+        fx=jnp.asarray(intrs[:, 0]), fy=jnp.asarray(intrs[:, 1]),
+        cx=jnp.asarray(intrs[:, 2]), cy=jnp.asarray(intrs[:, 3]),
+        width=ref.width, height=ref.height,
+        distortion=None if dist is None else jnp.asarray(np.stack(dists)),
+        camera_model=ref.camera_model)
+    n = cams.num_cameras
+    if 0 < max_frames < n:
+        idx = np.unique(np.linspace(0, n - 1, max_frames).round()
+                        .astype(np.int64))
+        cams = jax.tree.map(lambda x: x[idx], cams)
+    return cams
 
 
 def spiral_cameras(reference_cameras, num_frames: int = 60,
@@ -147,9 +169,12 @@ def spiral_cameras(reference_cameras, num_frames: int = 60,
                    rotations: int = 2):
     """ns-render `spiral` equivalent: a spiral about the first dataset
     camera, offsetting the eye in the camera's local right/up plane
-    (radius = radius_frac x its distance to the scene center) with a
-    slow vertical oscillation, all frames re-aimed at the original
-    look-at target so the subject stays centered."""
+    (radius = radius_frac x its distance to the world origin) with a
+    slow oscillation along its view axis, every frame re-aimed at the
+    WORLD ORIGIN — the scene center after the loaders' pose
+    normalization (auto-center/orient), which is where Blender and
+    normalized nerfstudio captures put the subject.  The first
+    camera's intrinsics/projection model carry to every frame."""
     import jax.numpy as jnp
     from rsn.data.cameras import Cameras
     from rsn.data.synthetic import _look_at_pose
@@ -173,7 +198,10 @@ def spiral_cameras(reference_cameras, num_frames: int = 60,
         fy=jnp.full((n,), float(ref.fy[0])),
         cx=jnp.full((n,), float(ref.cx[0])),
         cy=jnp.full((n,), float(ref.cy[0])),
-        width=ref.width, height=ref.height)
+        width=ref.width, height=ref.height,
+        distortion=(None if ref.distortion is None
+                    else jnp.broadcast_to(ref.distortion[0], (n, 6))),
+        camera_model=ref.camera_model)
 
 
 def path_cameras(path_file: str, reference_cameras):
@@ -277,7 +305,8 @@ def main(argv=None) -> int:
             cams = interpolate_cameras(
                 dataset.cameras,
                 steps_per_transition=max(1, ns.num_frames
-                                         // max(1, n_cams - 1)))
+                                         // max(1, n_cams - 1)),
+                max_frames=ns.num_frames)
         elif ns.mode == "spiral":
             cams = spiral_cameras(dataset.cameras, ns.num_frames)
         else:

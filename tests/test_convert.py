@@ -65,6 +65,53 @@ def test_export_then_reimport(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_imported_run_is_trainer_resumable(tmp_path):
+    """Trainer.restore matches the checkpoint against its REAL optax
+    tree — an imported run dir must therefore ship an initialized
+    opt_state, not an empty placeholder (caught in review: {} made
+    `rsn-train --load-dir` crash with an orbax structure mismatch)."""
+    params = init_field_params(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ref.ckpt"
+    _reference_style_ckpt(str(ckpt), params, step=9)
+    run_dir = str(tmp_path / "imported")
+    convert_lib.import_torch(str(ckpt), run_dir, "reflect-sampling-nerf")
+
+    from rsn.cli.registry import get_method
+    from rsn.engine.optimizers import build_field_optimizer
+
+    config = get_method("reflect-sampling-nerf").config_factory()
+    abstract = {"params": init_field_params(jax.random.PRNGKey(1)),
+                "opt_state": build_field_optimizer(
+                    config.optimizers).init(params),
+                "step": 0}
+    restored = ckpt_lib.load_checkpoint(
+        ckpt_lib.latest_checkpoint(f"{run_dir}/checkpoints"), abstract)
+    assert restored["step"] == 9
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["trunk"][0]["w"]),
+        np.asarray(params["trunk"][0]["w"]))
+
+
+def test_import_proposal_method_ships_proposal_group(tmp_path):
+    params = init_field_params(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ref.ckpt"
+    _reference_style_ckpt(str(ckpt), params)
+    run_dir = str(tmp_path / "imported")
+    convert_lib.import_torch(str(ckpt), run_dir,
+                             "reflect-sampling-nerf-proposal")
+    _, config, _, extras = load_run_full(run_dir)
+    assert config.pipeline.model.use_proposal
+    assert "proposal" in extras  # fresh proposal field for eval/resume
+
+
+def test_import_rejects_non_dict_checkpoint(tmp_path):
+    ckpt = tmp_path / "tensor.ckpt"
+    torch.save(torch.zeros(3), str(ckpt))
+    with pytest.raises(SystemExit):
+        convert_lib.import_torch(str(ckpt), str(tmp_path / "x"),
+                                 "reflect-sampling-nerf")
+
+
 def test_import_rejects_unknown_layout(tmp_path):
     ckpt = tmp_path / "odd.ckpt"
     torch.save({"pipeline": {"something.else": torch.zeros(3)}}, str(ckpt))

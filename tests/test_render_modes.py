@@ -75,6 +75,34 @@ def test_interpolate_midpoint_translation_is_lerp():
         c2w[1, :3, 3], 0.5 * (ref[0, :3, 3] + ref[1, :3, 3]), atol=1e-6)
 
 
+def test_interpolate_max_frames_caps_path_length():
+    cams = _orbit_cams(n=4)
+    out = interpolate_cameras(cams, steps_per_transition=10, max_frames=7)
+    assert out.num_cameras == 7
+    c2w = np.asarray(out.camera_to_worlds)
+    ref = np.asarray(cams.camera_to_worlds)
+    np.testing.assert_allclose(c2w[0], ref[0], atol=1e-5)    # first kept
+    np.testing.assert_allclose(c2w[-1], ref[-1], atol=1e-5)  # last kept
+
+
+def test_interpolate_lerps_intrinsics_and_keeps_model():
+    import jax.numpy as jnp
+    cams = _orbit_cams(n=2)
+    cams = Cameras(camera_to_worlds=cams.camera_to_worlds,
+                   fx=jnp.asarray([20.0, 40.0]), fy=jnp.asarray([20.0, 40.0]),
+                   cx=cams.cx, cy=cams.cy, width=cams.width,
+                   height=cams.height,
+                   distortion=jnp.asarray([[0.1, 0, 0, 0, 0, 0],
+                                           [0.3, 0, 0, 0, 0, 0]]),
+                   camera_model="fisheye")
+    out = interpolate_cameras(cams, steps_per_transition=2)
+    assert out.camera_model == "fisheye"
+    np.testing.assert_allclose(np.asarray(out.fx), [20.0, 30.0, 40.0])
+    # between keyframes, distortion follows the segment start
+    np.testing.assert_allclose(np.asarray(out.distortion)[:, 0],
+                               [0.1, 0.1, 0.3])
+
+
 def test_spiral_cameras_stay_near_base():
     cams = _orbit_cams(n=3, radius=4.0)
     out = spiral_cameras(cams, num_frames=12, radius_frac=0.1)
