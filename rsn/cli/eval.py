@@ -22,6 +22,7 @@ import numpy as np
 
 from rsn.cli.run_io import load_run
 from rsn import metrics as metrics_lib
+from rsn.models import model as model_lib
 
 
 def evaluate(params, dataset, config, mesh=None,
@@ -40,7 +41,7 @@ def evaluate(params, dataset, config, mesh=None,
                            prop_params=prop_params,
                            rays_per_chunk=preferred_eval_chunk(config))
         gt = dataset.images[i]
-        fine = np.clip(out["mid_reflect_fine"], 0, 1)
+        fine = np.clip(model_lib.final_rgb(out), 0, 1)
         m = {
             "fine_psnr": float(metrics_lib.psnr(jnp.asarray(fine),
                                                 jnp.asarray(gt))),

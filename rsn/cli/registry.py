@@ -60,3 +60,22 @@ register_method(
     "the coarse pass (~1.5x train / ~1.75x render throughput at "
     "matching synthetic-scene quality; binds the proposal_networks "
     "optimizer group).")
+
+
+def _mipnerf_config() -> TrainerConfig:
+    import dataclasses
+
+    base = TrainerConfig(method_name="mipnerf")
+    model = dataclasses.replace(base.pipeline.model, use_reflection=False)
+    return dataclasses.replace(
+        base, pipeline=dataclasses.replace(base.pipeline, model=model))
+
+
+register_method(
+    "mipnerf",
+    _mipnerf_config,
+    "primary-only model family: the same mip-NeRF-style field and "
+    "coarse/fine passes WITHOUT the reflected-ray passes -- for "
+    "non-specular scenes and debugging (~2x the training throughput "
+    "of the full method).  Combine with --pipeline.model.use-proposal "
+    "True for proposal-network sampling.")

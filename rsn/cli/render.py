@@ -33,8 +33,9 @@ def save_png(path: str, img: np.ndarray) -> None:
 
 def render_panels(out: dict, gt: np.ndarray, near: float, far: float):
     """The reference's three eval panels (model.py:457-459)."""
+    from rsn.models.model import final_rgb
     rgb = np.concatenate([gt, np.clip(out["mid_rgb_coarse"], 0, 1),
-                          np.clip(out["mid_reflect_fine"], 0, 1)], axis=1)
+                          np.clip(final_rgb(out), 0, 1)], axis=1)
     acc = np.concatenate([apply_colormap(out["accumulation_coarse"]),
                           apply_colormap(out["accumulation_fine"])], axis=1)
     depth = np.concatenate([
@@ -317,8 +318,9 @@ def main(argv=None) -> int:
             out = render_image(params, cams, i, config, mesh=mesh,
                                prop_params=extras.get("proposal"),
                                rays_per_chunk=preferred_eval_chunk(config))
+            from rsn.models.model import final_rgb
             save_png(os.path.join(out_dir, f"frame_{i:05d}.png"),
-                     np.clip(out["mid_reflect_fine"], 0, 1))
+                     np.clip(final_rgb(out), 0, 1))
             print(f"rendered {i+1}/{n}", flush=True)
         print(f"wrote {out_dir}")
         return 0

@@ -194,7 +194,8 @@ def _render_pose(theta: float, phi: float, r: float, mode: str,
                                    mcfg.collider_near_plane,
                                    mcfg.collider_far_plane)
     else:
-        img = np.clip(out["mid_reflect_fine"], 0, 1)
+        from rsn.models.model import final_rgb
+        img = np.clip(final_rgb(out), 0, 1)
     buf = io.BytesIO()
     Image.fromarray((img * 255).astype(np.uint8)).save(buf, "PNG")
     return buf.getvalue()

@@ -93,6 +93,12 @@ class ModelConfig:
     # mip-NeRF-360 interlevel loss, binding the reference's otherwise
     # empty "proposal_networks" optimizer group.  A deliberate
     # acceleration deviation; off by default (reference behavior).
+    # Primary-only model family (the "mipnerf" method): False skips the
+    # reflected passes 3/4 and their outputs/losses entirely —
+    # mid_rgb_fine becomes the product image.  No reference counterpart
+    # (the reference model is always reflection-aware); True is the
+    # reference behavior.
+    use_reflection: bool = True
     use_proposal: bool = False
     num_proposal_samples: int = 64
     interlevel_loss_mult: float = 1.0

@@ -301,7 +301,9 @@ def render_image(params, cameras: Cameras, camera_index: int,
                 "mid_reflect_fine", "accumulation_coarse",
                 "accumulation_fine", "depth_coarse", "depth_fine",
                 "roughness")
-        return {k: out[k] for k in keep}
+        # mid_reflect_* are absent in primary-only mode (use_reflection
+        # False)
+        return {k: out[k] for k in keep if k in out}
 
     # the WHOLE image renders in ONE dispatch: chunks iterate inside jit
     # via lax.map (sequential, VMEM-bounded), and only the finished
@@ -605,7 +607,7 @@ class Trainer:
                            prop_params=self.state.proposal)
         gt = self.eval_ds.images[idx]
         mcfg_all = self.config.pipeline.model
-        fine = np.clip(out["mid_reflect_fine"], 0, 1)
+        fine = np.clip(model_lib.final_rgb(out), 0, 1)
         coarse = np.clip(out["mid_rgb_coarse"], 0, 1)
         m = {
             "fine_psnr": float(metrics_lib.psnr(jnp.asarray(fine),

@@ -275,6 +275,55 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         accumulation_fine > cfg.mask_accumulation_threshold,
         n_dot_d < 0).reshape(-1)  # (R,)
 
+    outputs = {
+        "mid_rgb_coarse": mid_rgb_coarse,
+        "mid_rgb_fine": mid_rgb_fine,
+        "accumulation_coarse": sg(accumulation_coarse),
+        "accumulation_fine": sg(accumulation_fine),
+        "depth_coarse": sg(depth_coarse),
+        "depth_fine": sg(depth_fine),
+        "weights_coarse": sg(coarse_weights),
+        "weights_fine": sg(f["weights"]),
+        "pred_normals_fine": f["pred_normals"],
+        "normals_fine": sg(f["normals"]),
+        "n_dot_d_fine": f["n_dot_d"],
+        "diff": diff_fine,
+        "tint": tint_fine,
+        "roughness": roughness,
+        "mask": mask,
+        # fraction of rays that are masked but beyond the compaction cap
+        # (0.0 whenever #masked <= K, i.e. exact reference semantics)
+        "reflect_overflow": jnp.float32(0.0),
+    }
+    if use_prop:
+        # interlevel-loss inputs: LIVE proposal weights + the two
+        # spacing-domain histograms (rsn/models/proposal.py)
+        outputs["prop_weights"] = w_prop
+        outputs["prop_spacing_bins"] = jnp.concatenate(
+            [rs_uniform.spacing_starts[..., 0],
+             rs_uniform.spacing_ends[..., -1:, 0]], axis=-1)
+        outputs["fine_spacing_bins"] = jnp.concatenate(
+            [rs_pdf.spacing_starts[..., 0],
+             rs_pdf.spacing_ends[..., -1:, 0]], axis=-1)
+        if cfg.distortion_loss_mult:
+            # LIVE fine weights (outputs["weights_fine"] is detached):
+            # the regularizer must reach the main field's density
+            from rsn.models import proposal as proposal_lib
+            outputs["distortion"] = proposal_lib.distortion_per_ray(
+                f["weights"], outputs["fine_spacing_bins"])[..., None]
+    else:
+        outputs.update({
+            "pred_normals_coarse": c["pred_normals"],
+            "normals_coarse": sg(c["normals"]),
+            "n_dot_d_coarse": c["n_dot_d"],
+        })
+    if not cfg.use_reflection:
+        # primary-only model family ("mipnerf" method): passes 3/4 and
+        # their outputs are skipped entirely; the fine pass's
+        # mid_rgb_fine is the product image.  No reference counterpart
+        # (the reference model is always reflection-aware).
+        return outputs
+
     # ---- reflected ray bundle (model.py:267-290) ----
     origins = sg(ray_bundle.origins + depth_fine * ray_bundle.directions)
     reflections = sg(normalize(
@@ -359,53 +408,22 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         depth_reflect_fine = jnp.zeros((R, 1), depth_sub.dtype).at[sel].set(
             depth_sub)
 
-    outputs = {
-        "mid_rgb_coarse": mid_rgb_coarse,
-        "mid_rgb_fine": mid_rgb_fine,
+    outputs.update({
         "mid_reflect_coarse": mid_reflect_coarse,
         "mid_reflect_fine": mid_reflect_fine,
-        "accumulation_coarse": sg(accumulation_coarse),
-        "accumulation_fine": sg(accumulation_fine),
-        "depth_coarse": sg(depth_coarse),
-        "depth_fine": sg(depth_fine),
-        "weights_coarse": sg(coarse_weights),
-        "weights_fine": sg(f["weights"]),
-        "pred_normals_fine": f["pred_normals"],
-        "normals_fine": sg(f["normals"]),
-        "n_dot_d_fine": f["n_dot_d"],
-        "diff": diff_fine,
-        "tint": tint_fine,
-        "roughness": roughness,
-        "mask": mask,
         # always emitted at fixed shape; valid only where mask (SURVEY B#10)
         "depth_reflect_fine": depth_reflect_fine,
-        # fraction of rays that are masked but beyond the compaction cap
-        # (0.0 whenever #masked <= K, i.e. exact reference semantics)
         "reflect_overflow": reflect_overflow,
-    }
-    if use_prop:
-        # interlevel-loss inputs: LIVE proposal weights + the two
-        # spacing-domain histograms (rsn/models/proposal.py)
-        outputs["prop_weights"] = w_prop
-        outputs["prop_spacing_bins"] = jnp.concatenate(
-            [rs_uniform.spacing_starts[..., 0],
-             rs_uniform.spacing_ends[..., -1:, 0]], axis=-1)
-        outputs["fine_spacing_bins"] = jnp.concatenate(
-            [rs_pdf.spacing_starts[..., 0],
-             rs_pdf.spacing_ends[..., -1:, 0]], axis=-1)
-        if cfg.distortion_loss_mult:
-            # LIVE fine weights (outputs["weights_fine"] is detached):
-            # the regularizer must reach the main field's density
-            from rsn.models import proposal as proposal_lib
-            outputs["distortion"] = proposal_lib.distortion_per_ray(
-                f["weights"], outputs["fine_spacing_bins"])[..., None]
-    else:
-        outputs.update({
-            "pred_normals_coarse": c["pred_normals"],
-            "normals_coarse": sg(c["normals"]),
-            "n_dot_d_coarse": c["n_dot_d"],
-        })
+    })
     return outputs
+
+
+def final_rgb(outputs):
+    """The product image of a render: the reflection-composited fine
+    rgb when the reflected passes ran (reference semantics,
+    model.py:439), else the plain fine rgb (primary-only
+    use_reflection=False mode, which never emits mid_reflect_*)."""
+    return outputs.get("mid_reflect_fine", outputs["mid_rgb_fine"])
 
 
 # Loss-key classification for gradient routing (consumed by the
@@ -441,8 +459,6 @@ def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
         outputs["mid_rgb_coarse"], outputs["accumulation_coarse"], gt_image)
     losses = {
         "loss_mid_fine": mse(gt_rgb, outputs["mid_rgb_fine"]),
-        "loss_reflect_mid_coarse": mse(gt_rgb, outputs["mid_reflect_coarse"]),
-        "loss_reflect_mid_fine": mse(gt_rgb, outputs["mid_reflect_fine"]),
         # sums, not means (model.py:403-407); weights/normals detached,
         # pred_normals & n_dot_d live
         "predicted_normal_loss_fine": jnp.sum(
@@ -453,6 +469,11 @@ def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
             outputs["weights_fine"]
             * jax.nn.relu(outputs["n_dot_d_fine"]) ** 2),
     }
+    if "mid_reflect_fine" in outputs:  # absent in primary-only mode
+        losses["loss_reflect_mid_coarse"] = mse(
+            gt_rgb, outputs["mid_reflect_coarse"])
+        losses["loss_reflect_mid_fine"] = mse(
+            gt_rgb, outputs["mid_reflect_fine"])
     if "prop_weights" in outputs:
         # proposal mode: the coarse pass has no rgb/normal heads; the
         # proposal field trains on the interlevel loss instead
