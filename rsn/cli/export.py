@@ -1,0 +1,209 @@
+"""rsn-export — the `ns-export` equivalent: geometry from a trained run.
+
+The reference method trains under nerfstudio, whose CLI surface
+includes `ns-export pointcloud|poisson|tsdf|marching-cubes`; the
+method's own repo ships no export code, so this is a from-scratch
+TPU-native rebuild of the two modes that make sense for a density
+field:
+
+- `pointcloud`: render the dataset cameras (chunked, jitted — the same
+  render path as rsn-eval), backproject median depth along each pixel
+  ray, keep pixels whose accumulation clears a threshold, and write a
+  colored, normal-carrying PLY.
+- `mesh`: evaluate the field's density on a dense grid (chunked under
+  jit; positions contracted exactly as in training), isosurface it
+  with marching tetrahedra (rsn.core.mesh), color vertices with the
+  field's view-independent diffuse head, and attach analytic normals
+  -normalize(d sigma_preact / d x) through the contraction.
+
+Both write binary PLY (rsn.core.mesh.write_ply).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def _density_fns(params, mcfg):
+    """Jitted (points (N,3) world) -> dict of per-point field queries."""
+    import jax
+    import jax.numpy as jnp
+
+    from rsn.models import field as field_lib
+    from rsn.models.model import _field_cfg
+
+    fcfg = _field_cfg(mcfg)
+
+    def contract_pts(x):
+        n2 = jnp.sum(x * x, axis=-1, keepdims=True)
+        n = jnp.sqrt(jnp.maximum(n2, 1.0))
+        return jnp.where(n2 > 1.0, (2.0 * n - 1.0) / jnp.maximum(n2, 1.0)
+                         * x, x)
+
+    def preact_sum(x):
+        _, _, preact = field_lib.get_density(params, contract_pts(x),
+                                             None, fcfg)
+        return jnp.sum(preact), preact
+
+    @jax.jit
+    def query(x):
+        density, emb, _ = field_lib.get_density(params, contract_pts(x),
+                                                None, fcfg)
+        return {"density": density[..., 0],
+                "diff": field_lib.get_diff(params, emb)}
+
+    @jax.jit
+    def normals(x):
+        g, _ = jax.grad(preact_sum, has_aux=True)(x)
+        return -g / jnp.maximum(
+            jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+
+    return query, normals
+
+
+def _chunked(fn, pts: np.ndarray, chunk: int = 65536):
+    """Apply a jitted (N,3)->pytree fn over fixed-size chunks (padded)."""
+    import jax
+
+    n = pts.shape[0]
+    outs = []
+    for i in range(0, n, chunk):
+        part = pts[i:i + chunk]
+        pad = chunk - part.shape[0]
+        if pad:
+            part = np.concatenate([part, np.zeros((pad, 3), np.float32)])
+        o = jax.device_get(fn(part))
+        if pad:
+            o = jax.tree.map(lambda a: a[:chunk - pad], o)
+        outs.append(o)
+    return jax.tree.map(lambda *a: np.concatenate(a, axis=0), *outs)
+
+
+def export_mesh(params, config, out_path: str, resolution: int = 256,
+                bbox: float = 1.5, density_threshold: float = 15.0,
+                with_colors: bool = True) -> dict:
+    """Marching-tetrahedra mesh of the density field -> binary PLY."""
+    from rsn.core.mesh import marching_tetrahedra, write_ply
+
+    mcfg = config.pipeline.model
+    query, normals_fn = _density_fns(params, mcfg)
+    ax = np.linspace(-bbox, bbox, resolution, dtype=np.float32)
+    # evaluate plane-by-plane to bound host memory at high resolution
+    grid = np.empty((resolution,) * 3, np.float32)
+    yy, zz = np.meshgrid(ax, ax, indexing="ij")
+    for i, x in enumerate(ax):
+        pts = np.stack([np.full_like(yy, x), yy, zz],
+                       axis=-1).reshape(-1, 3)
+        grid[i] = _chunked(query, pts)["density"].reshape(
+            resolution, resolution)
+    verts_idx, faces = marching_tetrahedra(grid, density_threshold)
+    scale = (2.0 * bbox) / (resolution - 1)
+    verts = verts_idx * scale - bbox
+    colors = normals = None
+    if len(verts) and with_colors:
+        out = _chunked(query, verts.astype(np.float32))
+        colors = out["diff"]
+        normals = _chunked(normals_fn, verts.astype(np.float32))
+    write_ply(out_path, verts, faces=faces, colors=colors,
+              normals=normals)
+    return {"vertices": int(len(verts)), "faces": int(len(faces))}
+
+
+def export_pointcloud(params, config, dataset, out_path: str,
+                      num_points: int = 1_000_000,
+                      min_accumulation: float = 0.5,
+                      max_images: int = 0, extras=None,
+                      seed: int = 0) -> dict:
+    """Backprojected depth point cloud (rgb + analytic normals) -> PLY."""
+    import jax
+
+    from rsn.core.mesh import write_ply
+    from rsn.data.cameras import generate_image_rays
+    from rsn.engine.trainer import preferred_eval_chunk, render_image
+    from rsn.models.model import final_rgb
+
+    extras = extras or {}
+    mcfg = config.pipeline.model
+    far = mcfg.collider_far_plane
+    n = dataset.cameras.num_cameras
+    if max_images:
+        n = min(n, max_images)
+    pts, cols = [], []
+    for i in range(n):
+        out = render_image(params, dataset.cameras, i, config,
+                           prop_params=extras.get("proposal"),
+                           rays_per_chunk=preferred_eval_chunk(config))
+        o, d, _ = generate_image_rays(dataset.cameras, i)
+        o = np.asarray(o)
+        d = np.asarray(d)
+        depth = out["depth_fine"].reshape(-1)
+        acc = out["accumulation_fine"].reshape(-1)
+        keep = (acc > min_accumulation) & (depth < 0.99 * far)
+        pts.append((o + depth[:, None] * d)[keep])
+        cols.append(np.clip(final_rgb(out), 0.0, 1.0)
+                    .reshape(-1, 3)[keep])
+        print(f"backprojected {i + 1}/{n}", flush=True)
+    pts = np.concatenate(pts, axis=0) if pts else np.zeros((0, 3))
+    cols = np.concatenate(cols, axis=0) if cols else np.zeros((0, 3))
+    if len(pts) > num_points:
+        sel = np.random.default_rng(seed).choice(len(pts), num_points,
+                                                 replace=False)
+        pts, cols = pts[sel], cols[sel]
+    normals = None
+    if len(pts):
+        _, normals_fn = _density_fns(params, mcfg)
+        normals = _chunked(normals_fn, pts.astype(np.float32))
+    write_ply(out_path, pts, colors=cols, normals=normals)
+    return {"points": int(len(pts))}
+
+
+def main(argv=None) -> int:
+    import argparse
+    p = argparse.ArgumentParser(
+        description="export geometry from a trained run (ns-export "
+                    "equivalent)")
+    p.add_argument("mode", choices=("pointcloud", "mesh"))
+    p.add_argument("--load-dir", required=True)
+    p.add_argument("--output-path", default=None,
+                   help="output .ply (default <load-dir>/exports/<mode>.ply)")
+    p.add_argument("--split", default="train")
+    p.add_argument("--max-images", type=int, default=0)
+    p.add_argument("--num-points", type=int, default=1_000_000)
+    p.add_argument("--min-accumulation", type=float, default=0.5)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--bbox", type=float, default=1.5,
+                   help="mesh grid half-extent (world units)")
+    p.add_argument("--density-threshold", type=float, default=15.0)
+    p.add_argument("--no-colors", action="store_true")
+    ns = p.parse_args(argv)
+
+    from rsn.cli.run_io import load_run_full
+
+    params, config, step, extras = load_run_full(ns.load_dir)
+    out_path = ns.output_path or os.path.join(
+        ns.load_dir, "exports", f"{ns.mode}.ply")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+
+    if ns.mode == "mesh":
+        stats = export_mesh(params, config, out_path,
+                            resolution=ns.resolution, bbox=ns.bbox,
+                            density_threshold=ns.density_threshold,
+                            with_colors=not ns.no_colors)
+    else:
+        from rsn.data.blender import load_dataset
+        dm = config.pipeline.datamanager
+        dataset = load_dataset(dm.dataparser, dm.data or "", ns.split,
+                               dm.downscale_factor, dm.scale_factor)
+        stats = export_pointcloud(
+            params, config, dataset, out_path,
+            num_points=ns.num_points,
+            min_accumulation=ns.min_accumulation,
+            max_images=ns.max_images, extras=extras)
+    print(f"wrote {out_path} {stats}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
