@@ -31,6 +31,36 @@ def save_png(path: str, img: np.ndarray) -> None:
     Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
 
 
+def save_video(path: str, frames, fps: int = 24) -> str:
+    """Write frames (list of float [0,1] HxWx3) as .mp4 via ffmpeg when
+    available, else as an animated .gif (PIL, no external deps) —
+    ns-render writes videos; this environment has no ffmpeg, so the
+    GIF container is the dependency-free fallback.  Returns the path
+    actually written (extension may change)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    from PIL import Image
+
+    imgs = [Image.fromarray((np.clip(f, 0, 1) * 255).astype(np.uint8))
+            for f in frames]
+    if path.endswith(".mp4") and shutil.which("ffmpeg"):
+        with tempfile.TemporaryDirectory() as td:
+            for i, im in enumerate(imgs):
+                im.save(os.path.join(td, f"{i:05d}.png"))
+            subprocess.run(
+                ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+                 os.path.join(td, "%05d.png"), "-pix_fmt", "yuv420p",
+                 path], check=True, capture_output=True)
+        return path
+    if path.endswith(".mp4"):
+        path = path[:-4] + ".gif"
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=max(1, round(1000 / fps)), loop=0)
+    return path
+
+
 def render_panels(out: dict, gt: np.ndarray, near: float, far: float):
     """The reference's three eval panels (model.py:457-459)."""
     from rsn.models.model import final_rgb
@@ -277,6 +307,11 @@ def main(argv=None) -> int:
     p.add_argument("--camera-path", default=None,
                    help="camera-path JSON for --mode path (export one "
                         "from the viewer with the `e` key)")
+    p.add_argument("--video", action="store_true",
+                   help="also write the path-mode frames as a video "
+                        "(mp4 via ffmpeg when present, else animated "
+                        "gif)")
+    p.add_argument("--fps", type=int, default=24)
     ns = p.parse_args(argv)
 
     from rsn.cli.run_io import load_run_full
@@ -314,14 +349,21 @@ def main(argv=None) -> int:
             cams = orbit_cameras(dataset.cameras, ns.num_frames)
         n = cams.num_cameras if not ns.max_images else min(
             cams.num_cameras, ns.max_images)
+        frames = []
         for i in range(n):
             out = render_image(params, cams, i, config, mesh=mesh,
                                prop_params=extras.get("proposal"),
                                rays_per_chunk=preferred_eval_chunk(config))
             from rsn.models.model import final_rgb
-            save_png(os.path.join(out_dir, f"frame_{i:05d}.png"),
-                     np.clip(final_rgb(out), 0, 1))
+            frame = np.clip(final_rgb(out), 0, 1)
+            save_png(os.path.join(out_dir, f"frame_{i:05d}.png"), frame)
+            if ns.video:
+                frames.append(frame)
             print(f"rendered {i+1}/{n}", flush=True)
+        if ns.video and frames:
+            vid = save_video(os.path.join(out_dir, f"{ns.mode}.mp4"),
+                             frames, fps=ns.fps)
+            print(f"wrote {vid}")
         print(f"wrote {out_dir}")
         return 0
 

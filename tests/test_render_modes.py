@@ -114,3 +114,19 @@ def test_spiral_cameras_stay_near_base():
     assert np.all(d <= 0.4 * 1.2 + 1e-6)
     assert d.max() > 0.1  # and it actually moves
     _assert_rotations_orthonormal(c2w)
+
+
+def test_save_video_gif_fallback(tmp_path):
+    """No ffmpeg in this env: .mp4 request degrades to animated .gif."""
+    from PIL import Image
+
+    from rsn.cli.render import save_video
+
+    rng = np.random.default_rng(0)
+    frames = [rng.uniform(size=(24, 32, 3)).astype(np.float32)
+              for _ in range(5)]
+    out = save_video(str(tmp_path / "orbit.mp4"), frames, fps=10)
+    assert out.endswith(".gif")
+    im = Image.open(out)
+    im.seek(4)  # 5 frames present
+    assert im.size == (32, 24)
