@@ -135,6 +135,12 @@ class ModelConfig:
     #                     accumulators (139k vs 73k rays/s/chip XLA)
     use_pallas_train: bool = True
     use_pallas: bool = True
+    #   use_pallas_acts:  with use_pallas_train, spill the trunk
+    #                     activations from the fused forward (v6) and
+    #                     run the recompute-free backward (v5) —
+    #                     ~512 B/sample of HBM traffic for 1/3 of the
+    #                     backward FLOPs; identical values/gradients
+    use_pallas_acts: bool = False
     bug_compat: BugCompat = dfield(default_factory=BugCompat)
 
 

@@ -375,7 +375,7 @@ def _ipe_parts(mc, ipe):
 
 
 def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
-                w_out, b_out, wd_row=None):
+                w_out, b_out, wd_row=None, want_acts=False):
     """Forward body for one half-tile -> (T/2, V3_OUT) fp32 columns.
 
     parts: the half's precomputed IPE (x, pre_enc, damp).  Operands use
@@ -383,7 +383,9 @@ def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
     the mid-MLP (w_comb), the remaining heads are an 11-column matmul
     (whs, FH_* layout).  With wd_row (v4), also runs the in-VMEM
     analytic-normals dgrad chain and fills cols V4_DPDM with
-    d density_preact/d mean.
+    d density_preact/d mean.  With want_acts (v6), additionally returns
+    the post-relu trunk activations hs (list of 8 (T/2, 256) bf16) so
+    the caller can spill them to HBM for a recompute-free backward.
     """
     f32, bf16 = jnp.float32, jnp.bfloat16
     A, bA, V, M = ipe
@@ -396,7 +398,7 @@ def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
             h = jnp.concatenate([x, h], axis=-1)
         acc = jnp.dot(h, ws[i][:], preferred_element_type=f32)
         h = jnp.maximum(acc + bs[i][:], 0.0).astype(bf16)
-        if wd_row is not None:
+        if wd_row is not None or want_acts:
             hs.append(h)
     heads = jnp.dot(h, whs[:], preferred_element_type=f32) + bhs[:]
     density_pre = heads[:, 0:1]
@@ -418,8 +420,9 @@ def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
 
     if wd_row is None:
         zeros = jnp.zeros((x.shape[0], V3_OUT - 14), f32)
-        return jnp.concatenate([mid_out, diff, tint, normals_raw,
-                                density_pre, rough_raw, zeros], axis=1)
+        out = jnp.concatenate([mid_out, diff, tint, normals_raw,
+                               density_pre, rough_raw, zeros], axis=1)
+        return (out, hs) if want_acts else out
 
     # fused analytic-normals dgrad: d density_pre / d mean
     dh = jnp.broadcast_to(wd_row[:], hs[-1].shape).astype(f32)
@@ -440,8 +443,9 @@ def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
     dmc = jax.lax.dot_general(dpre_enc, A, (((1,), (1,)), ((), ())),
                               preferred_element_type=f32)
     zeros = jnp.zeros((x.shape[0], V3_OUT - 17), f32)
-    return jnp.concatenate([mid_out, diff, tint, normals_raw, density_pre,
-                            rough_raw, dmc[:, 0:3], zeros], axis=1)
+    out = jnp.concatenate([mid_out, diff, tint, normals_raw, density_pre,
+                           rough_raw, dmc[:, 0:3], zeros], axis=1)
+    return (out, hs) if want_acts else out
 
 
 def _field_kernel_halved(want_normals, mc_ref, g_ref, A_ref, bA_ref,
@@ -610,6 +614,113 @@ def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
             bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2) + 512 * 4 * (
                 n // samples_per_ray),
             transcendentals=n * 300),
+    )(mean_cov, g_bands, *ipe_ops, E, *packed)
+
+
+# ---- v6: v3/v4 forward + trunk-activation spill -------------------------
+# The recompute-backward (field_train) re-runs the trunk forward per
+# tile — 1x of its 3x FLOPs.  v6 instead writes the post-relu trunk
+# activations (8 x 256 bf16 = 512 B/sample) to HBM as a second output;
+# the paired backward (field_backward_v5) loads them and skips the
+# recompute entirely.  The activations are already live in VMEM here, so
+# the forward pays only the output DMA (~8 MB/tile at tile 2048,
+# double-buffered under the MXU chain); the trade is ~1.1 GB/step of
+# extra HBM traffic for ~1/3 of the backward's serial MXU chain.
+
+ACTS_COLS = TRUNK_LAYERS * TRUNK_WIDTH  # 2048
+
+
+def _field_kernel_halved_acts(want_normals, mc_ref, g_ref, A_ref, bA_ref,
+                              V_ref, M_ref, E_ref, *refs):
+    if want_normals:
+        (w0, w1, w2, w3, w4, w5, w6, w7,
+         b0, b1, b2, b3, b4, b5, b6, b7, whs, bhs,
+         w_comb, b_comb, w_out, b_out, wd_row, out_ref, acts_ref) = refs
+    else:
+        (w0, w1, w2, w3, w4, w5, w6, w7,
+         b0, b1, b2, b3, b4, b5, b6, b7, whs, bhs,
+         w_comb, b_comb, w_out, b_out, out_ref, acts_ref) = refs
+        wd_row = None
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+    ipe = (A_ref[:], bA_ref[:], V_ref[:], M_ref[:])
+
+    g_rep = jnp.dot(E_ref[:], g_ref[:],
+                    preferred_element_type=jnp.float32)  # (T, 512)
+    T = mc_ref.shape[0]
+    H = T // N_HALVES
+    parts = [_ipe_parts(mc_ref[p * H:(p + 1) * H, :], ipe)
+             for p in range(N_HALVES)]
+    for p in range(N_HALVES):
+        sl = slice(p * H, (p + 1) * H)
+        out, hs = _field_half(parts[p], g_rep[sl, :], ipe, ws, bs, whs,
+                              bhs, w_comb, b_comb, w_out, b_out, wd_row,
+                              want_acts=True)
+        out_ref[sl, :] = out.astype(jnp.bfloat16)
+        acts_ref[sl, :] = jnp.concatenate(hs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
+                                             "want_normals", "interpret"))
+def field_forward_v6(packed, mean_cov: jax.Array, g_bands: jax.Array,
+                     samples_per_ray: int, tile: int = DEFAULT_TILE,
+                     want_normals: bool = False, interpret: bool = False):
+    """v3/v4 forward that additionally spills the trunk activations.
+
+    packed: pack_params_v3f (want_normals=False) or pack_params_v4f
+    (True).  -> (out (N, 128) bf16 — identical to v3/v4 — and
+    acts (N, 2048) bf16: the 8 post-relu trunk layers concatenated,
+    consumed by field_train.field_backward_v5).
+    """
+    n = mean_cov.shape[0]
+    assert n % tile == 0, (n, tile)
+    assert tile % samples_per_ray == 0, (tile, samples_per_ray)
+    rays_per_tile = tile // samples_per_ray
+    grid = (n // tile,)
+    import numpy as np
+    ipe_ops = ipe_matrices()
+    E = jnp.asarray(np.kron(np.eye(rays_per_tile, dtype=np.float32),
+                            np.ones((samples_per_ray, 1), np.float32)))
+    in_specs = [
+        pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 512), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for m in ipe_ops:
+        in_specs.append(pl.BlockSpec(m.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(E.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    mult = 2 if want_normals else 1
+    flops_per_row = mult * 2 * (ENC_PAD * 256 + 3 * 256 * 256
+                                + SKIP_PAD * 256 + 3 * 256 * 256
+                                + 2 * 256 * 128 + 128 * 128)
+    return pl.pallas_call(
+        functools.partial(_field_kernel_halved_acts, want_normals),
+        grid=grid,
+        in_specs=in_specs,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_specs=[
+            pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, ACTS_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, V3_OUT), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n, ACTS_COLS), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (IN_COLS * 4 + (V3_OUT + ACTS_COLS) * 2)
+            + 512 * 4 * (n // samples_per_ray),
+            transcendentals=n * (300 if want_normals else 200)),
     )(mean_cov, g_bands, *ipe_ops, E, *packed)
 
 

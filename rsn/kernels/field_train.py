@@ -41,14 +41,19 @@ from rsn.kernels.field_pallas import (DEFAULT_TILE, ENC_PAD, IN_COLS,
                                       OUT_DIM, SKIP_PAD, V3_OUT,
                                       _BAND_KS, _cos2pi, _ipe_parts,
                                       _sin2pi, field_forward_v3,
+                                      field_forward_v6,
                                       ipe_matrices, pack_params_v3)
 from rsn.models.field import SKIP_AT, TRUNK_LAYERS
 
 N_PACKED = 22  # w0..7, b0..7, wh, bh, w_emb, b_mid, w_out, b_out
 
 
-def _bwd_kernel_impl(two_d, mc_ref, g_ref, dout_ref, A_ref, bA_ref,
-                     V_ref, M_ref, E_ref, *refs):
+def _bwd_kernel_impl(two_d, has_acts, mc_ref, g_ref, dout_ref, A_ref,
+                     bA_ref, V_ref, M_ref, E_ref, *refs):
+    if has_acts:
+        acts_ref, refs = refs[0], refs[1:]
+    else:
+        acts_ref = None
     packed = refs[:N_PACKED]
     (w0, w1, w2, w3, w4, w5, w6, w7,
      b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
@@ -97,7 +102,8 @@ def _bwd_kernel_impl(two_d, mc_ref, g_ref, dout_ref, A_ref, bA_ref,
         sl = slice(p * H, (p + 1) * H)
         dmc, dg_all, contribs = _bwd_half(
             parts[p], g_rep[sl, :], dout_ref[sl, :], ipe, ws, bs,
-            wh, bh, w_emb, b_mid, w_out, b_out)
+            wh, bh, w_emb, b_mid, w_out, b_out,
+            acts_b=None if acts_ref is None else acts_ref[sl, :])
         dmc_ref[sl, :] = dmc
         # per-ray reduce: E_half^T @ dg_all -> (rays_per_tile, 512)
         dgp = jax.lax.dot_general(
@@ -110,10 +116,14 @@ def _bwd_kernel_impl(two_d, mc_ref, g_ref, dout_ref, A_ref, bA_ref,
 
 
 def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
-              w_out, b_out):
+              w_out, b_out, acts_b=None):
     """Recompute-backward for one half-tile.
 
     parts: the half's precomputed IPE (x, pre_enc, damp).
+    acts_b: optional (H, 2048) bf16 trunk activations spilled by
+    field_forward_v6 — when given, the trunk forward recompute (8
+    matmuls, ~1/3 of this kernel's FLOPs) is skipped; values are
+    identical either way (the spill is the same post-relu bf16).
     Returns (dmc (H,16) f32, dg_all (H,512) f32 per-sample, contribs[22])
     where contribs follow the packed-operand order (w0..7, b0..7, wh,
     bh, w_emb, b_mid, w_out, b_out).
@@ -127,14 +137,19 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     x, pre_enc, damp, u = parts
     sin_pre = _sin2pi(u)
 
-    hs = []  # post-relu activations, bf16
-    h = x
-    for i in range(TRUNK_LAYERS):
-        if i == SKIP_AT:
-            h = jnp.concatenate([x, h], axis=-1)
-        acc = jnp.dot(h, ws[i][:], preferred_element_type=f32)
-        h = jnp.maximum(acc + bs[i][:], 0.0).astype(bf16)
-        hs.append(h)
+    if acts_b is None:
+        hs = []  # post-relu activations, bf16
+        h = x
+        for i in range(TRUNK_LAYERS):
+            if i == SKIP_AT:
+                h = jnp.concatenate([x, h], axis=-1)
+            acc = jnp.dot(h, ws[i][:], preferred_element_type=f32)
+            h = jnp.maximum(acc + bs[i][:], 0.0).astype(bf16)
+            hs.append(h)
+    else:
+        hs = [acts_b[:, i * 256:(i + 1) * 256]
+              for i in range(TRUNK_LAYERS)]
+        h = hs[-1]
 
     heads = jnp.dot(h, wh[:], preferred_element_type=f32) + bh[:]
     bneck = heads[:, 0:256].astype(bf16)
@@ -246,8 +261,9 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     return dmc, dg_all, contribs
 
 
-_bwd_kernel = functools.partial(_bwd_kernel_impl, False)
-_bwd_kernel_2d = functools.partial(_bwd_kernel_impl, True)
+_bwd_kernel = functools.partial(_bwd_kernel_impl, False, False)
+_bwd_kernel_2d = functools.partial(_bwd_kernel_impl, True, False)
+_bwd_kernel_2d_acts = functools.partial(_bwd_kernel_impl, True, True)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
@@ -404,6 +420,96 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
     return dmc, dg, dpacked
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
+                                               "inner", "interpret"))
+def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
+                      samples_per_ray, tile: int = 512, inner: int = 16,
+                      interpret: bool = False):
+    """Recompute-FREE backward: identical math and grid structure to
+    field_backward_v4, but consumes the trunk activations spilled by
+    field_pallas.field_forward_v6 (acts: (N, 2048) bf16) instead of
+    re-running the trunk forward — removing ~1/3 of the kernel's FLOPs
+    and 8 serial MXU links from its dependency chain, for ~512 B/sample
+    of extra (double-buffered) HBM reads.
+    """
+    from rsn.kernels.field_pallas import ACTS_COLS
+
+    n = mean_cov.shape[0]
+    assert n % tile == 0, (n, tile)
+    assert acts.shape == (n, ACTS_COLS), (acts.shape, n)
+    n_tiles = n // tile
+    inner = max(1, min(inner, n_tiles))
+    while n_tiles % inner:
+        inner -= 1
+    outer = n_tiles // inner
+    grid = (outer, inner)
+    assert tile % samples_per_ray == 0, (tile, samples_per_ray)
+    rays_per_tile = tile // samples_per_ray
+    n_rays = n // samples_per_ray
+    ipe_ops = ipe_matrices()
+    E = jnp.asarray(np.kron(np.eye(rays_per_tile, dtype=np.float32),
+                            np.ones((samples_per_ray, 1), np.float32)))
+
+    def row_map(o, i):
+        return (o * inner + i, 0)
+
+    in_specs = [
+        pl.BlockSpec((tile, IN_COLS), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 512), row_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
+    ]
+    for m in ipe_ops:
+        in_specs.append(pl.BlockSpec(m.shape, lambda o, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(E.shape, lambda o, i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((tile, ACTS_COLS), row_map,
+                                 memory_space=pltpu.VMEM))
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda o, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((n, IN_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((n_rays, 512), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((tile, IN_COLS), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 512), row_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    for w in packed:  # per-outer-group fp32 accumulators
+        out_shapes.append(
+            jax.ShapeDtypeStruct((outer,) + w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec((1,) + w.shape,
+                                      lambda o, i: (o, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    # 2x (not 3x): the forward-recompute third is replaced by the spill
+    flops_per_row = 2 * 2 * (ENC_PAD * 256 + 7 * 256 * 256 + SKIP_PAD * 256
+                             + 256 * OUT_DIM + 256 * 128 + 128 * 128)
+    res = pl.pallas_call(
+        _bwd_kernel_2d_acts,
+        grid=grid,
+        in_specs=in_specs,
+        interpret=interpret,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (IN_COLS * 4 + (V3_OUT + ACTS_COLS) * 2)
+            + n_rays * 4096,
+            transcendentals=n * 300),
+    )(mean_cov, g_bands.astype(jnp.float32), d_out, *ipe_ops, E, acts,
+      *packed)
+    dmc, dg = res[0], res[1]
+    dpacked = tuple(jnp.sum(a, axis=0) for a in res[2:])
+    return dmc, dg, dpacked
+
+
 # ---- custom-VJP wrapper -------------------------------------------------
 # Takes the fp32 params PYTREE as the differentiable argument so weight
 # gradients stay fp32 end-to-end (the kernel's accumulators are fp32);
@@ -443,16 +549,24 @@ def _unpack_grads(params, dpacked):
     return g
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_field_train(params, mean_cov, g_bands, samples_per_ray,
-                      tile=DEFAULT_TILE, want_normals=False):
-    """Fused field forward with a recompute backward.
+                      tile=DEFAULT_TILE, want_normals=False,
+                      save_acts=False):
+    """Fused field forward with a recompute (or spill) backward.
 
     want_normals=True runs the v4 forward (cols V4_DPDM carry
     d density_preact/d mean for the analytic-normals target; that chain
     is stop_gradient by construction — the backward ignores those
     cotangent columns, matching the reference where normals are a
     detached regularization target, model.py:250-251).
+
+    save_acts=True (differentiated path only) runs the v6 forward,
+    which spills the trunk activations to HBM, and the recompute-free
+    field_backward_v5 — trading ~1 GB/step of double-buffered HBM
+    traffic for 1/3 of the backward's FLOPs.  Values and gradients are
+    identical either way (the spilled bf16 activations equal the
+    recomputed ones bit for bit).
     """
     from rsn.kernels.field_pallas import (field_forward_v4,
                                           pack_params_v3f, pack_params_v4f)
@@ -466,10 +580,19 @@ def fused_field_train(params, mean_cov, g_bands, samples_per_ray,
                             samples_per_ray, tile)
 
 
-def _fwd(params, mean_cov, g_bands, samples_per_ray, tile, want_normals):
+def _fwd(params, mean_cov, g_bands, samples_per_ray, tile, want_normals,
+         save_acts):
+    if save_acts:
+        from rsn.kernels.field_pallas import (pack_params_v3f,
+                                              pack_params_v4f)
+        packed = (pack_params_v4f(params) if want_normals
+                  else pack_params_v3f(params))
+        out, acts = field_forward_v6(packed, mean_cov, g_bands,
+                                     samples_per_ray, tile, want_normals)
+        return out, (params, mean_cov, g_bands, acts)
     out = fused_field_train(params, mean_cov, g_bands, samples_per_ray,
-                            tile, want_normals)
-    return out, (params, mean_cov, g_bands)
+                            tile, want_normals, save_acts)
+    return out, (params, mean_cov, g_bands, None)
 
 
 def bwd_rays_per_tile(tile, samples_per_ray):
@@ -491,13 +614,19 @@ def bwd_rays_per_tile(tile, samples_per_ray):
                  if rays_fwd % d == 0 and d >= 8), rays_fwd)
 
 
-def _bwd(samples_per_ray, tile, want_normals, res, d_out):
-    params, mean_cov, g_bands = res
+def _bwd(samples_per_ray, tile, want_normals, save_acts, res, d_out):
+    params, mean_cov, g_bands, acts = res
     packed = pack_params_v3(params)
     rays_per_tile_bwd = bwd_rays_per_tile(tile, samples_per_ray)
-    dmc, dg, dpacked = field_backward_v4(
-        packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
-        samples_per_ray, samples_per_ray * rays_per_tile_bwd)
+    tile_bwd = samples_per_ray * rays_per_tile_bwd
+    if acts is not None:
+        dmc, dg, dpacked = field_backward_v5(
+            packed, mean_cov, g_bands, acts, d_out.astype(jnp.bfloat16),
+            samples_per_ray, tile_bwd)
+    else:
+        dmc, dg, dpacked = field_backward_v4(
+            packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
+            samples_per_ray, tile_bwd)
     return _unpack_grads(params, dpacked), dmc, dg
 
 

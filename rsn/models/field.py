@@ -49,6 +49,7 @@ class FieldConfig:
     sh_l8_m7_2x: bool = True  # replicate reference SH bug (SURVEY.md B#1)
     use_pallas: bool = False  # fused field kernel (forward/eval path)
     use_pallas_train: bool = False  # fused custom-VJP kernel for training
+    save_acts: bool = False  # v6 fwd spills trunk acts; v5 bwd skips recompute
 
 
 def _linear_init(key: jax.Array, in_dim: int, out_dim: int) -> Params:

@@ -58,7 +58,9 @@ def _field_cfg(cfg: ModelConfig) -> FieldConfig:
                        sh_l8_m7_2x=cfg.bug_compat.sh_l8_m7_2x,
                        use_pallas=use_pallas,
                        use_pallas_train=(use_pallas
-                                         and cfg.use_pallas_train))
+                                         and cfg.use_pallas_train),
+                       save_acts=(use_pallas and cfg.use_pallas_train
+                                  and cfg.use_pallas_acts))
 
 
 def apply_collider(ray_bundle: RayBundle, cfg: ModelConfig) -> RayBundle:
@@ -109,7 +111,8 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
         if training:
             from rsn.kernels.field_train import fused_field_train
             out = fused_field_train(params, mc, g, S, tile,
-                                    training and want_normals)[:R * S]
+                                    training and want_normals,
+                                    fcfg.save_acts)[:R * S]
         else:
             out = fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, S,
                                       tile)[:R * S]

@@ -359,3 +359,112 @@ def test_custom_vjp_chain_non_dividing_sample_count():
     finally:
         setattr(ft, "field_forward_v3", orig_fwd)
         setattr(ft, "field_backward_v4", orig_bwd)
+
+
+def test_forward_v6_matches_v3_v4_and_spills_acts(setup):
+    """v6 must be bit-identical to v3/v4 on the main output, and its
+    spilled activations must equal the shadow's post-relu bf16 trunk."""
+    params, mc, g = setup
+    out3 = fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, S,
+                               tile=TILE, interpret=True)
+    out6, acts6 = fp.field_forward_v6(fp.pack_params_v3f(params), mc, g,
+                                      S, tile=TILE, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out6, np.float32),
+                                  np.asarray(out3, np.float32))
+    out4 = fp.field_forward_v4(fp.pack_params_v4f(params), mc, g, S,
+                               tile=TILE, interpret=True)
+    out6n, acts6n = fp.field_forward_v6(fp.pack_params_v4f(params), mc, g,
+                                        S, tile=TILE, want_normals=True,
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out6n, np.float32),
+                                  np.asarray(out4, np.float32))
+    np.testing.assert_array_equal(np.asarray(acts6n, np.float32),
+                                  np.asarray(acts6, np.float32))
+
+    # shadow trunk: same IPE + 8 relu layers, bf16 (mirrors _field_half)
+    A, bA, V, M = fp.ipe_matrices()
+    packed = fp.pack_params_v3(params)
+    ws = packed[:8]
+    bs = packed[8:16]
+    pre = mc @ A + bA
+    var = mc @ V
+    x = (M * (jnp.exp(-0.5 * var) * jnp.sin(pre))
+         + (1.0 - M) * pre).astype(jnp.bfloat16)
+    h, hs = x, []
+    for i in range(8):
+        if i == fp.SKIP_AT:
+            h = jnp.concatenate([x, h], axis=-1)
+        acc = jax.lax.dot_general(h, ws[i], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        h = jnp.maximum(acc + bs[i], 0.0).astype(jnp.bfloat16)
+        hs.append(h)
+    shadow_acts = jnp.concatenate(hs, axis=1)
+    # the kernel's poly sin/exp2 differ from XLA's exact transcendentals
+    # by <= a few bf16 ulps; downstream relu layers stay within bf16 noise
+    np.testing.assert_allclose(np.asarray(acts6, np.float32),
+                               np.asarray(shadow_acts, np.float32),
+                               atol=0.15, rtol=0.05)
+
+
+def test_backward_v5_matches_v4(setup):
+    """The recompute-free backward must produce the same grads as the
+    recompute backward when fed the v6-spilled activations (the spill
+    IS the recompute's value, so only fp32 reassociation noise — and
+    the poly-vs-exact transcendental difference in x — separates
+    them; with the kernel's own acts the trunk parts are identical)."""
+    params, mc, g = setup
+    d_out = jax.random.normal(jax.random.PRNGKey(5),
+                              (N, fp.V3_OUT)).astype(jnp.bfloat16)
+    packed = fp.pack_params_v3(params)
+    _, acts = fp.field_forward_v6(fp.pack_params_v3f(params), mc, g, S,
+                                  tile=TILE, interpret=True)
+    dmc4, dg4, dp4 = ft.field_backward_v4(packed, mc, g, d_out, S,
+                                          tile=TILE, inner=2,
+                                          interpret=True)
+    dmc5, dg5, dp5 = ft.field_backward_v5(packed, mc, g, acts, d_out, S,
+                                          tile=TILE, inner=2,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(dmc5), np.asarray(dmc4),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dg5), np.asarray(dg4),
+                               rtol=1e-4, atol=1e-4)
+    for a4, a5 in zip(dp4, dp5):
+        scale = max(1e-3, float(np.abs(np.asarray(a4)).max()))
+        np.testing.assert_allclose(np.asarray(a5) / scale,
+                                   np.asarray(a4) / scale,
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_custom_vjp_chain_save_acts_matches_recompute(setup):
+    """End-to-end gradients through fused_field_train must be the same
+    with save_acts on and off (same math, different activation
+    source)."""
+    import functools
+    params, mc, g = setup
+    w_rand = jax.random.normal(jax.random.PRNGKey(4), (N, fp.V3_OUT))
+
+    patches = {
+        "field_forward_v3": ft.field_forward_v3,
+        "field_forward_v6": ft.field_forward_v6,
+        "field_backward_v4": ft.field_backward_v4,
+        "field_backward_v5": ft.field_backward_v5,
+    }
+    for name, orig in patches.items():
+        setattr(ft, name, functools.partial(orig, interpret=True))
+    try:
+        def loss(p, save_acts):
+            out = ft.fused_field_train(p, mc, g, S, TILE, False, save_acts)
+            return jnp.sum(out.astype(jnp.float32) * w_rand)
+
+        g_recompute = jax.grad(lambda p: loss(p, False))(params)
+        g_acts = jax.grad(lambda p: loss(p, True))(params)
+        flat_r, _ = jax.tree.flatten(g_recompute)
+        flat_a, _ = jax.tree.flatten(g_acts)
+        for a, r in zip(flat_a, flat_r):
+            scale = max(1e-3, float(np.abs(np.asarray(r)).max()))
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(r) / scale,
+                                       rtol=2e-3, atol=2e-3)
+    finally:
+        for name, orig in patches.items():
+            setattr(ft, name, orig)
