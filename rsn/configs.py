@@ -146,7 +146,7 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class DataManagerConfig:
-    dataparser: str = "blender"        # blender | nerfstudio | synthetic
+    dataparser: str = "blender"  # blender | nerfstudio | instant-ngp | synthetic
     data: Optional[str] = None         # dataset path
     train_num_rays_per_batch: int = 1024
     eval_num_rays_per_batch: int = 1024

@@ -1,5 +1,5 @@
-"""Blender-synthetic (NeRF transforms_*.json) and nerfstudio-format
-dataset loaders.
+"""Blender-synthetic (NeRF transforms_*.json), nerfstudio-format, and
+instant-ngp-format dataset loaders.
 
 Rebuilds the capability of nerfstudio's ``BlenderDataParser`` (reference
 config at reflect_sampling_nerf_config.py:36: Blender parser, white alpha
@@ -243,6 +243,90 @@ def load_nerfstudio(data_dir: str, split: str = "train", downscale: int = 1,
     return Dataset(images=imgs, cameras=cameras, split=split)
 
 
+def load_instant_ngp(data_dir: str, split: str = "train",
+                     downscale: int = 1, train_fraction: float = 0.9,
+                     max_images: Optional[int] = None,
+                     scale_factor: float = 1.0) -> Dataset:
+    """Load an instant-ngp-format capture (transforms.json with shared
+    top-level intrinsics and `aabb_scale`) — the third dataparser of
+    nerfstudio's core set (InstantNGPDataParserConfig).
+
+    Format differences from the nerfstudio format handled here:
+    - intrinsics usually live at the TOP level (`fl_x`/`fl_y`/`cx`/`cy`
+      /`w`/`h`), with `camera_angle_x`/`camera_angle_y` as the fallback
+      focal specification; per-frame keys still win when present
+    - distortion is OpenCV `k1 k2 p1 p2`
+    - `aabb_scale` declares the scene bound (power of two); instant-ngp
+      scenes are pre-scaled into the [0, aabb_scale] box
+    Deviation (documented): poses are auto-oriented/centered/scaled into
+    the unit ball like our nerfstudio loader, because rsn's collider
+    (near 2 / far 6) and the mip-360 contraction assume a normalized
+    world — nerfstudio's parser instead keeps raw NGP coordinates and
+    widens its scene box by aabb_scale.  Values are equivalent up to the
+    global similarity transform, which NeRF training is invariant to.
+    """
+    import jax.numpy as jnp
+
+    with open(os.path.join(data_dir, "transforms.json")) as f:
+        meta = json.load(f)
+    frames = meta["frames"]
+    n = len(frames)
+
+    all_poses = np.stack([np.array(f["transform_matrix"], np.float32)
+                          for f in frames])
+    all_poses = auto_orient_and_center_poses(all_poses)
+    all_poses[:, :3, 3] *= auto_scale_poses(all_poses) * scale_factor
+
+    idx = np.arange(n)
+    n_train = int(round(n * train_fraction))
+    train_idx = np.linspace(0, n - 1, n_train, dtype=int)
+    eval_idx = np.setdiff1d(idx, train_idx)
+    sel = train_idx if split == "train" else eval_idx
+    if max_images is not None:
+        sel = sel[:max_images]
+
+    def gkey(frame, key, default=None):
+        v = frame.get(key, meta.get(key))
+        return default if v is None else v
+
+    images, fx, fy, cx, cy, dist = [], [], [], [], [], []
+    for i in sel:
+        frame = frames[i]
+        fname = os.path.join(data_dir, frame["file_path"])
+        if not os.path.splitext(fname)[1]:
+            fname = fname + ".png"
+        images.append(_load_image(fname, downscale))
+        h_, w_ = images[-1].shape[:2]
+        flx = gkey(frame, "fl_x")
+        if flx is None:  # camera_angle fallback (instant-ngp synthetic)
+            flx = 0.5 * w_ * downscale / np.tan(
+                0.5 * float(gkey(frame, "camera_angle_x")))
+        fly = gkey(frame, "fl_y")
+        if fly is None:
+            ay = gkey(frame, "camera_angle_y")
+            fly = (0.5 * h_ * downscale / np.tan(0.5 * float(ay))
+                   if ay is not None else flx)
+        fx.append(float(flx) / downscale)
+        fy.append(float(fly) / downscale)
+        cx.append(float(gkey(frame, "cx", w_ * downscale / 2.0)) / downscale)
+        cy.append(float(gkey(frame, "cy", h_ * downscale / 2.0)) / downscale)
+        dist.append([float(gkey(frame, k, 0.0) or 0.0)
+                     for k in _DIST_KEYS])
+
+    imgs = np.stack(images)
+    poses_np = all_poses[sel]
+    dist_np = np.asarray(dist, np.float32)
+    N, H, W = imgs.shape[:3]
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(poses_np[:, :3, :4]),
+        fx=jnp.asarray(fx, jnp.float32), fy=jnp.asarray(fy, jnp.float32),
+        cx=jnp.asarray(cx, jnp.float32), cy=jnp.asarray(cy, jnp.float32),
+        width=W, height=H,
+        distortion=(jnp.asarray(dist_np)
+                    if np.any(dist_np != 0.0) else None))
+    return Dataset(images=imgs, cameras=cameras, split=split)
+
+
 def load_dataset(parser: str, data_dir: str, split: str,
                  downscale: int = 1, scale_factor: float = 1.0,
                  max_images: Optional[int] = None) -> Dataset:
@@ -253,6 +337,10 @@ def load_dataset(parser: str, data_dir: str, split: str,
         return load_nerfstudio(data_dir, split, downscale,
                                max_images=max_images,
                                scale_factor=scale_factor)
+    if parser == "instant-ngp":
+        return load_instant_ngp(data_dir, split, downscale,
+                                max_images=max_images,
+                                scale_factor=scale_factor)
     if parser == "synthetic":
         from rsn.data.synthetic import make_synthetic_dataset
         return make_synthetic_dataset(split=split)

@@ -404,3 +404,78 @@ def test_equirectangular_loader(tmp_path):
     np.testing.assert_allclose(np.asarray(ds.cameras.fy), float(H))
     np.testing.assert_allclose(np.asarray(ds.cameras.cx), W / 2.0)
     np.testing.assert_allclose(np.asarray(ds.cameras.cy), H / 2.0)
+
+
+def test_instant_ngp_loader(tmp_path):
+    """instant-ngp format: shared top-level intrinsics, camera_angle_x
+    fallback, aabb_scale present, extension-less file paths."""
+    import json
+    from PIL import Image
+    from rsn.data.blender import load_instant_ngp
+
+    H, W = 12, 16
+    frames = []
+    (tmp_path / "images").mkdir(exist_ok=True)
+    for i in range(8):
+        rel = f"images/{i:04d}"  # instant-ngp often omits the extension
+        arr = (np.random.default_rng(i).uniform(0, 255, (H, W, 3))
+               .astype(np.uint8))
+        Image.fromarray(arr).save(tmp_path / (rel + ".png"))
+        pose = np.eye(4)
+        pose[:3, 3] = [np.cos(i), np.sin(i), 4.0]
+        frames.append({"file_path": rel,
+                       "transform_matrix": pose.tolist()})
+    meta = {
+        "camera_angle_x": 0.8, "aabb_scale": 16,
+        "fl_x": 120.0, "fl_y": 121.0, "cx": W / 2, "cy": H / 2,
+        "k1": 0.01, "k2": 0.0, "p1": 0.0, "p2": 0.0,
+        "frames": frames,
+    }
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump(meta, f)
+
+    train = load_instant_ngp(str(tmp_path), "train")
+    test = load_instant_ngp(str(tmp_path), "test")
+    assert train.images.shape[1:] == (H, W, 3)
+    assert train.cameras.num_cameras + test.cameras.num_cameras == 8
+    # shared intrinsics broadcast to every selected frame
+    np.testing.assert_allclose(np.asarray(train.cameras.fx), 120.0)
+    np.testing.assert_allclose(np.asarray(train.cameras.fy), 121.0)
+    assert train.cameras.distortion is not None  # k1 carried
+    # poses normalized into the unit ball (documented deviation)
+    norms = np.linalg.norm(
+        np.asarray(train.cameras.camera_to_worlds)[:, :3, 3], axis=-1)
+    assert norms.max() <= 1.0 + 1e-5
+
+    # camera_angle_x fallback when fl_x is absent
+    del meta["fl_x"], meta["fl_y"]
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    ds = load_instant_ngp(str(tmp_path), "train")
+    expect = 0.5 * W / np.tan(0.5 * 0.8)
+    np.testing.assert_allclose(np.asarray(ds.cameras.fx), expect,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ds.cameras.fy), expect,
+                               rtol=1e-6)
+
+
+def test_instant_ngp_loader_through_dispatch(tmp_path):
+    """`load_dataset("instant-ngp", ...)` resolves to the loader."""
+    import json
+    from PIL import Image
+    from rsn.data.blender import load_dataset
+
+    H, W = 8, 8
+    (tmp_path / "images").mkdir(exist_ok=True)
+    frames = []
+    for i in range(4):
+        rel = f"images/{i}.png"
+        Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(tmp_path / rel)
+        pose = np.eye(4)
+        pose[:3, 3] = [i * 0.2, 0.1, 2.0]
+        frames.append({"file_path": rel,
+                       "transform_matrix": pose.tolist()})
+    meta = {"camera_angle_x": 1.0, "aabb_scale": 4, "frames": frames}
+    (tmp_path / "transforms.json").write_text(json.dumps(meta))
+    ds = load_dataset("instant-ngp", str(tmp_path), "train")
+    assert ds.cameras.num_cameras >= 3
