@@ -1,10 +1,9 @@
 """rsn-export — the `ns-export` equivalent: geometry from a trained run.
 
 The reference method trains under nerfstudio, whose CLI surface
-includes `ns-export pointcloud|poisson|tsdf|marching-cubes`; the
-method's own repo ships no export code, so this is a from-scratch
-TPU-native rebuild of the two modes that make sense for a density
-field:
+includes `ns-export pointcloud|poisson|tsdf|marching-cubes|cameras`;
+the method's own repo ships no export code, so this is a from-scratch
+TPU-native rebuild of the modes that make sense for a density field:
 
 - `pointcloud`: render the dataset cameras (chunked, jitted — the same
   render path as rsn-eval), backproject median depth along each pixel
@@ -16,7 +15,9 @@ field:
   field's view-independent diffuse head, and attach analytic normals
   -normalize(d sigma_preact / d x) through the contraction.
 
-Both write binary PLY (rsn.core.mesh.write_ply).
+Geometry modes write binary PLY (rsn.core.mesh.write_ply); `cameras`
+writes a transforms.json-style pose/intrinsics dump (ns-export
+cameras equivalent).
 """
 from __future__ import annotations
 
@@ -159,12 +160,42 @@ def export_pointcloud(params, config, dataset, out_path: str,
     return {"points": int(len(pts))}
 
 
+def export_cameras(config, dataset, out_path: str) -> dict:
+    """`ns-export cameras` equivalent: dump the run's camera poses and
+    intrinsics as a transforms.json-style document (consumable by the
+    nerfstudio/instant-ngp dataparsers and by rsn-render --mode path)."""
+    import json
+
+    cams = dataset.cameras
+    n = cams.num_cameras
+    c2w = np.asarray(cams.camera_to_worlds, np.float64)
+    fx = np.asarray(cams.fx, np.float64)
+    fy = np.asarray(cams.fy, np.float64)
+    cx = np.asarray(cams.cx, np.float64)
+    cy = np.asarray(cams.cy, np.float64)
+    frames = []
+    bottom = np.array([[0.0, 0.0, 0.0, 1.0]])
+    for i in range(n):
+        frames.append({
+            "camera_index": i,
+            "transform_matrix": np.concatenate(
+                [c2w[i], bottom], axis=0).tolist(),
+            "fl_x": fx[i], "fl_y": fy[i], "cx": cx[i], "cy": cy[i],
+            "w": cams.width, "h": cams.height,
+        })
+    doc = {"camera_model": getattr(cams, "camera_model", "perspective"),
+           "frames": frames}
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    return {"cameras": n}
+
+
 def main(argv=None) -> int:
     import argparse
     p = argparse.ArgumentParser(
         description="export geometry from a trained run (ns-export "
                     "equivalent)")
-    p.add_argument("mode", choices=("pointcloud", "mesh"))
+    p.add_argument("mode", choices=("pointcloud", "mesh", "cameras"))
     p.add_argument("--load-dir", required=True)
     p.add_argument("--output-path", default=None,
                    help="output .ply (default <load-dir>/exports/<mode>.ply)")
@@ -182,11 +213,18 @@ def main(argv=None) -> int:
     from rsn.cli.run_io import load_run_full
 
     params, config, step, extras = load_run_full(ns.load_dir)
+    ext = "json" if ns.mode == "cameras" else "ply"
     out_path = ns.output_path or os.path.join(
-        ns.load_dir, "exports", f"{ns.mode}.ply")
+        ns.load_dir, "exports", f"{ns.mode}.{ext}")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
 
-    if ns.mode == "mesh":
+    if ns.mode == "cameras":
+        from rsn.data.blender import load_dataset
+        dm = config.pipeline.datamanager
+        dataset = load_dataset(dm.dataparser, dm.data or "", ns.split,
+                               dm.downscale_factor, dm.scale_factor)
+        stats = export_cameras(config, dataset, out_path)
+    elif ns.mode == "mesh":
         stats = export_mesh(params, config, out_path,
                             resolution=ns.resolution, bbox=ns.bbox,
                             density_threshold=ns.density_threshold,

@@ -149,3 +149,14 @@ def test_export_cli_end_to_end(tmp_path):
                           "--density-threshold", "1.0"])
     assert rc == 0
     assert os.path.exists(os.path.join(run_dir, "exports", "mesh.ply"))
+
+    rc = export_cli.main(["cameras", "--load-dir", run_dir])
+    assert rc == 0
+    import json
+    with open(os.path.join(run_dir, "exports", "cameras.json")) as f:
+        doc = json.load(f)
+    assert doc["frames"] and doc["camera_model"] == "perspective"
+    fr = doc["frames"][0]
+    m = np.asarray(fr["transform_matrix"])
+    assert m.shape == (4, 4) and np.allclose(m[3], [0, 0, 0, 1])
+    assert fr["fl_x"] > 0 and fr["w"] > 0
