@@ -239,10 +239,11 @@ def path_cameras(path_file: str, reference_cameras):
     """Cameras from a camera-path JSON.
 
     Two schemas are accepted:
-    - rsn viewer export (`e` key) or hand-authored:
-      {"frames": [{"camera_to_world": 3x4 or 4x4}, ...]} with optional
-      top-level fx/fy/cx/cy/width/height (defaults: the dataset's first
-      camera);
+    - rsn viewer export (`e` key), `rsn-export cameras` output, or
+      hand-authored: {"frames": [{"camera_to_world" | "transform_matrix":
+      3x4 or 4x4, optional per-frame fl_x/fl_y/cx/cy}, ...]} with
+      optional top-level fx/fy/cx/cy/width/height (defaults: the
+      dataset's first camera);
     - nerfstudio `ns-render --camera-path-filename` format:
       {"camera_path": [{"camera_to_world": 16 flat floats,
       "fov": deg}, ...], "render_height": H, "render_width": W} —
@@ -272,19 +273,25 @@ def path_cameras(path_file: str, reference_cameras):
             fx=jnp.asarray(fy), fy=jnp.asarray(fy),
             cx=jnp.full((n,), W / 2.0), cy=jnp.full((n,), H / 2.0),
             width=W, height=H)
-    c2w = np.asarray([f["camera_to_world"] for f in doc["frames"]],
-                     np.float32)[:, :3, :4]
+    frames = doc["frames"]
+    c2w = np.asarray([f.get("camera_to_world", f.get("transform_matrix"))
+                      for f in frames], np.float32)[:, :3, :4]
     n = c2w.shape[0]
 
-    def intr(name, default):
-        return jnp.full((n,), float(doc.get(name, default)))
+    def intr(name, frame_key, default):
+        # per-frame transforms.json-style keys (rsn-export cameras)
+        # win over the top-level value; dataset camera 0 is the fallback
+        return jnp.asarray([float(f.get(frame_key,
+                                        doc.get(name, default)))
+                            for f in frames], jnp.float32)
 
+    w0 = frames[0].get("w", doc.get("width", ref.width))
+    h0 = frames[0].get("h", doc.get("height", ref.height))
     return Cameras(
         camera_to_worlds=jnp.asarray(c2w),
-        fx=intr("fx", ref.fx[0]), fy=intr("fy", ref.fy[0]),
-        cx=intr("cx", ref.cx[0]), cy=intr("cy", ref.cy[0]),
-        width=int(doc.get("width", ref.width)),
-        height=int(doc.get("height", ref.height)))
+        fx=intr("fx", "fl_x", ref.fx[0]), fy=intr("fy", "fl_y", ref.fy[0]),
+        cx=intr("cx", "cx", ref.cx[0]), cy=intr("cy", "cy", ref.cy[0]),
+        width=int(w0), height=int(h0))
 
 
 def main(argv=None) -> int:

@@ -92,3 +92,25 @@ def test_scaled_cameras_quality_levels():
     assert (half.width, half.height) == (32, 24)
     np.testing.assert_allclose(np.asarray(half.fx), 15.0)
     assert viewer_lib._scaled_cameras(cams, 1) is cams
+
+def test_path_cameras_accepts_exported_cameras_json(tmp_path):
+    """rsn-export cameras output (transforms.json-style: per-frame
+    transform_matrix + fl_x/fl_y/cx/cy/w/h) renders via --mode path."""
+    from rsn.cli.export import export_cameras
+    from rsn.data.blender import Dataset
+
+    cams = _cams(n=3, w=40, h=30)
+    ds = Dataset(images=np.zeros((3, 30, 40, 3), np.float32),
+                 cameras=cams, split="train")
+    out = tmp_path / "cameras.json"
+    stats = export_cameras(None, ds, str(out))
+    assert stats == {"cameras": 3}
+
+    loaded = path_cameras(str(out), _cams(n=1, w=8, h=8))  # ref differs
+    assert loaded.num_cameras == 3
+    assert (loaded.width, loaded.height) == (40, 30)  # from the file
+    np.testing.assert_allclose(np.asarray(loaded.fx), 30.0)
+    np.testing.assert_allclose(np.asarray(loaded.cx), 20.0)
+    np.testing.assert_allclose(np.asarray(loaded.camera_to_worlds),
+                               np.asarray(cams.camera_to_worlds),
+                               atol=1e-6)
