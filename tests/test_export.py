@@ -150,6 +150,13 @@ def test_export_cli_end_to_end(tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(run_dir, "exports", "mesh.ply"))
 
+    rc = export_cli.main(["tsdf", "--load-dir", run_dir,
+                          "--resolution", "24", "--bbox", "1.0",
+                          "--max-images", "2",
+                          "--min-accumulation", "0.2"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(run_dir, "exports", "tsdf.ply"))
+
     rc = export_cli.main(["cameras", "--load-dir", run_dir])
     assert rc == 0
     import json
@@ -160,3 +167,78 @@ def test_export_cli_end_to_end(tmp_path):
     m = np.asarray(fr["transform_matrix"])
     assert m.shape == (4, 4) and np.allclose(m[3], [0, 0, 0, 1])
     assert fr["fl_x"] > 0 and fr["w"] > 0
+
+
+def _look_at_c2w(eye, target=(0.0, 0.0, 0.0)):
+    """OpenGL c2w (camera looks down -z, y up) from eye toward target."""
+    eye = np.asarray(eye, np.float32)
+    fwd = np.asarray(target, np.float32) - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, 0.0, 1.0], np.float32)
+    if abs(np.dot(up, fwd)) > 0.99:
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    down_up = np.cross(right, fwd)
+    return np.stack([right, down_up, -fwd, eye], axis=1)  # (3, 4)
+
+
+def test_tsdf_fusion_sphere_accuracy():
+    """Analytic sphere depth maps -> fused TSDF -> mesh at the right
+    radius, validating the projective-TSDF math against rsn's own
+    camera/ray conventions (depths come from generate_image_rays)."""
+    import jax.numpy as jnp
+    from rsn.cli.export import fuse_tsdf
+    from rsn.core.mesh import marching_tetrahedra
+    from rsn.data.cameras import Cameras, generate_image_rays
+
+    r_sphere, H, W, n_cam = 0.6, 48, 48, 8
+    eyes = []
+    for k in range(n_cam):
+        th = 2 * np.pi * k / n_cam
+        eyes.append([2.5 * np.cos(th), 2.5 * np.sin(th),
+                     1.2 if k % 2 else -1.2])
+    c2w = np.stack([_look_at_c2w(e) for e in eyes])
+    f = 40.0
+    cams = Cameras(camera_to_worlds=jnp.asarray(c2w),
+                   fx=jnp.full((n_cam,), f), fy=jnp.full((n_cam,), f),
+                   cx=jnp.full((n_cam,), W / 2.0),
+                   cy=jnp.full((n_cam,), H / 2.0), width=W, height=H)
+
+    depths = np.zeros((n_cam, H, W), np.float32)
+    accs = np.zeros((n_cam, H, W), np.float32)
+    rgbs = np.full((n_cam, H, W, 3), 0.5, np.float32)
+    for i in range(n_cam):
+        o, d, _ = generate_image_rays(cams, i)
+        o, d = np.asarray(o), np.asarray(d)
+        # |o + t d| = r: t^2 + 2 t o.d + |o|^2 - r^2 = 0
+        b = np.sum(o * d, axis=-1)
+        c = np.sum(o * o, axis=-1) - r_sphere**2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        depths[i] = np.where(hit, t, 1e3).reshape(H, W)
+        accs[i] = hit.astype(np.float32).reshape(H, W)
+
+    from rsn.cli.export import drop_unobserved_faces
+
+    res, bbox = 64, 1.0
+    tsdf, colors, seen = fuse_tsdf(depths, accs, rgbs, cams,
+                                   resolution=res, bbox=bbox,
+                                   min_accumulation=0.5)
+    verts_idx, faces = marching_tetrahedra(-tsdf, 0.0)
+    verts_idx, faces = drop_unobserved_faces(verts_idx, faces, seen)
+    assert len(verts_idx) > 300 and len(faces) > 600
+    assert faces.max() < len(verts_idx)  # remap compacted correctly
+    verts = verts_idx * (2.0 * bbox / (res - 1)) - bbox
+    rad = np.linalg.norm(verts, axis=1)
+    voxel = 2.0 * bbox / (res - 1)
+    # surface sits on the sphere to within a voxel (projective TSDF
+    # bends slightly at grazing angles; the mean must be much tighter)
+    assert abs(rad.mean() - r_sphere) < 0.3 * voxel, rad.mean()
+    assert np.abs(rad - r_sphere).max() < 2.0 * voxel
+
+    # colors fused where observed
+    flat = (verts_idx.round().astype(int).clip(0, res - 1))
+    idx = (flat[:, 0] * res + flat[:, 1]) * res + flat[:, 2]
+    assert np.allclose(colors[idx], 0.5, atol=1e-3)
