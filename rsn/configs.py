@@ -140,7 +140,9 @@ class ModelConfig:
     #                     run the recompute-free backward (v5) —
     #                     ~512 B/sample of HBM traffic for 1/3 of the
     #                     backward FLOPs; identical values/gradients
-    use_pallas_acts: bool = False
+    #                     (measured on v5e: fwd+bwd 5.24 -> 4.58 ms at
+    #                     the fine-pass shape, tools/exp_bwd_acts.py)
+    use_pallas_acts: bool = True
     bug_compat: BugCompat = dfield(default_factory=BugCompat)
 
 

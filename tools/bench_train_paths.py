@@ -39,7 +39,10 @@ def main() -> None:
 
     for name, kw in (
         ("xla", {"use_pallas": False, "use_pallas_train": False}),
-        ("pallas_train", {"use_pallas": True, "use_pallas_train": True}),
+        ("pallas_train", {"use_pallas": True, "use_pallas_train": True,
+                          "use_pallas_acts": False}),
+        ("pallas_acts", {"use_pallas": True, "use_pallas_train": True,
+                         "use_pallas_acts": True}),
     ):
         config, train_step, optimizer = build(batch, **kw)
         state = TrainState(params=params, opt_state=optimizer.init(params),

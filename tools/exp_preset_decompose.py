@@ -44,10 +44,12 @@ def main():
     key = jax.random.PRNGKey(7)
     bundle, gt = sample_pixel_batch(images, ds.cameras, 1024, key)
     bundle = model_lib.apply_collider(bundle, mcfg)
-    coeffs = loss_coefficients_traced(jnp.int32(5000))
+    coeffs = dict(loss_coefficients_traced(jnp.int32(5000)),
+                  interlevel_loss=jnp.float32(mcfg.interlevel_loss_mult))
+    if mcfg.distortion_loss_mult:
+        coeffs["distortion_loss"] = jnp.float32(mcfg.distortion_loss_mult)
 
-    from rsn.core.sampling import spaced_sample
-    from rsn.core.spacing import identity_spacing
+    from rsn.core.spacing import identity_spacing, spaced_sample
 
     def prop_only(pp, k):
         rs = spaced_sample(bundle, identity_spacing(),
