@@ -132,10 +132,14 @@ def make_train_step(config: TrainerConfig):
 
         def forward(params, cam, prop):
             b = camera_opt_lib.apply_to_bundle(bundle, cam, cam_mode)
+            # rays are autograd leaves unless the camera optimizer is
+            # refining poses — lets the fused kernels skip the primary
+            # passes' dead IPE backward (see model.get_outputs)
             outputs = model_lib.get_outputs(params, b, k_render, mcfg,
                                             training=True,
                                             prop_params=prop,
-                                            prop_anneal=prop_anneal)
+                                            prop_anneal=prop_anneal,
+                                            rays_live=cam is not None)
             loss_dict = model_lib.get_loss_dict(outputs, gt, coeffs)
             if cam is not None:
                 # gauge-freedom regularizer (nerfstudio camera-opt

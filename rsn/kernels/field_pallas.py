@@ -628,10 +628,13 @@ def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
 # extra HBM traffic for ~1/3 of the backward's serial MXU chain.
 
 ACTS_COLS = TRUNK_LAYERS * TRUNK_WIDTH  # 2048
+# spill_x layout: the padded IPE encoding x appended after the 8 layers
+# (consumed by the no-IPE backward, field_train.field_backward_v6)
+XACTS_COLS = ACTS_COLS + ENC_PAD  # 2176
 
 
-def _field_kernel_halved_acts(want_normals, mc_ref, g_ref, A_ref, bA_ref,
-                              V_ref, M_ref, E_ref, *refs):
+def _field_kernel_halved_acts(want_normals, spill_x, mc_ref, g_ref, A_ref,
+                              bA_ref, V_ref, M_ref, E_ref, *refs):
     if want_normals:
         (w0, w1, w2, w3, w4, w5, w6, w7,
          b0, b1, b2, b3, b4, b5, b6, b7, whs, bhs,
@@ -657,20 +660,26 @@ def _field_kernel_halved_acts(want_normals, mc_ref, g_ref, A_ref, bA_ref,
                               bhs, w_comb, b_comb, w_out, b_out, wd_row,
                               want_acts=True)
         out_ref[sl, :] = out.astype(jnp.bfloat16)
-        acts_ref[sl, :] = jnp.concatenate(hs, axis=1)
+        cols = hs + [parts[p][0]] if spill_x else hs
+        acts_ref[sl, :] = jnp.concatenate(cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
-                                             "want_normals", "interpret"))
+                                             "want_normals", "interpret",
+                                             "spill_x"))
 def field_forward_v6(packed, mean_cov: jax.Array, g_bands: jax.Array,
                      samples_per_ray: int, tile: int = DEFAULT_TILE,
-                     want_normals: bool = False, interpret: bool = False):
+                     want_normals: bool = False, interpret: bool = False,
+                     spill_x: bool = False):
     """v3/v4 forward that additionally spills the trunk activations.
 
     packed: pack_params_v3f (want_normals=False) or pack_params_v4f
     (True).  -> (out (N, 128) bf16 — identical to v3/v4 — and
     acts (N, 2048) bf16: the 8 post-relu trunk layers concatenated,
-    consumed by field_train.field_backward_v5).
+    consumed by field_train.field_backward_v5).  With spill_x, the
+    padded IPE encoding x is appended (acts (N, 2176)) so the no-IPE
+    backward (field_backward_v6, used when dmc is dead) needs no
+    transcendental recompute at all.
     """
     n = mean_cov.shape[0]
     assert n % tile == 0, (n, tile)
@@ -696,11 +705,13 @@ def field_forward_v6(packed, mean_cov: jax.Array, g_bands: jax.Array,
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     mult = 2 if want_normals else 1
+    acts_cols = XACTS_COLS if spill_x else ACTS_COLS
     flops_per_row = mult * 2 * (ENC_PAD * 256 + 3 * 256 * 256
                                 + SKIP_PAD * 256 + 3 * 256 * 256
                                 + 2 * 256 * 128 + 128 * 128)
     return pl.pallas_call(
-        functools.partial(_field_kernel_halved_acts, want_normals),
+        functools.partial(_field_kernel_halved_acts, want_normals,
+                          spill_x),
         grid=grid,
         in_specs=in_specs,
         interpret=interpret,
@@ -709,16 +720,16 @@ def field_forward_v6(packed, mean_cov: jax.Array, g_bands: jax.Array,
         out_specs=[
             pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, ACTS_COLS), lambda i: (i, 0),
+            pl.BlockSpec((tile, acts_cols), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, V3_OUT), jnp.bfloat16),
-            jax.ShapeDtypeStruct((n, ACTS_COLS), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n, acts_cols), jnp.bfloat16),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_per_row * n,
-            bytes_accessed=n * (IN_COLS * 4 + (V3_OUT + ACTS_COLS) * 2)
+            bytes_accessed=n * (IN_COLS * 4 + (V3_OUT + acts_cols) * 2)
             + 512 * 4 * (n // samples_per_ray),
             transcendentals=n * (300 if want_normals else 200)),
     )(mean_cov, g_bands, *ipe_ops, E, *packed)

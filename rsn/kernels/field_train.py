@@ -116,17 +116,24 @@ def _bwd_kernel_impl(two_d, has_acts, mc_ref, g_ref, dout_ref, A_ref,
 
 
 def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
-              w_out, b_out, acts_b=None):
+              w_out, b_out, acts_b=None, want_dmc=True):
     """Recompute-backward for one half-tile.
 
-    parts: the half's precomputed IPE (x, pre_enc, damp).
+    parts: the half's precomputed IPE (x, pre_enc, damp, u).
     acts_b: optional (H, 2048) bf16 trunk activations spilled by
     field_forward_v6 — when given, the trunk forward recompute (8
     matmuls, ~1/3 of this kernel's FLOPs) is skipped; values are
     identical either way (the spill is the same post-relu bf16).
-    Returns (dmc (H,16) f32, dg_all (H,512) f32 per-sample, contribs[22])
-    where contribs follow the packed-operand order (w0..7, b0..7, wh,
-    bh, w_emb, b_mid, w_out, b_out).
+    want_dmc=False (only valid with a spilled x — parts may then be
+    (x, None, None, None)) skips the IPE backward entirely: no
+    sin/cos polys, no dvar/dpre_enc, no dmc matmuls, and no layer-0
+    dgrad — for call sites whose mean/cov cotangent is provably dead
+    (primary passes with the camera optimizer off: sample positions
+    are detached PDF bins over leaf rays, exactly as in the torch
+    reference where rays are autograd leaves).
+    Returns (dmc (H,16) f32 or None, dg_all (H,512) f32 per-sample,
+    contribs[22]) where contribs follow the packed-operand order
+    (w0..7, b0..7, wh, bh, w_emb, b_mid, w_out, b_out).
     """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -135,7 +142,8 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
 
     # ---- forward recompute (keep activations in VMEM) ----
     x, pre_enc, damp, u = parts
-    sin_pre = _sin2pi(u)
+    if want_dmc:
+        sin_pre = _sin2pi(u)
 
     if acts_b is None:
         hs = []  # post-relu activations, bf16
@@ -240,6 +248,8 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
             inp, dpre, (((0,), (0,)), ((), ())),
             preferred_element_type=f32)
         contribs[8 + i] = jnp.sum(dh * mask, axis=0, keepdims=True)
+        if i == 0 and not want_dmc:
+            break  # layer-0 dgrad only feeds the (dead) IPE backward
         dinp = jax.lax.dot_general(
             dpre, ws[i][:], (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
@@ -248,6 +258,8 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
             dh = dinp[:, ENC_PAD:]
         else:
             dh = dinp
+    if not want_dmc:
+        return None, dg_all, contribs
     dx = dh + (dx_extra if dx_extra is not None else 0.0)  # (H, 128) f32
 
     # IPE backward: x = M*(damp*sin(pre)) + (1-M)*pre
@@ -264,6 +276,48 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
 _bwd_kernel = functools.partial(_bwd_kernel_impl, False, False)
 _bwd_kernel_2d = functools.partial(_bwd_kernel_impl, True, False)
 _bwd_kernel_2d_acts = functools.partial(_bwd_kernel_impl, True, True)
+
+
+def _bwd_kernel_noipe(xacts_ref, g_ref, dout_ref, E_ref, *refs):
+    """No-IPE backward: x + trunk activations come from the v6 spill
+    (spill_x layout, XACTS_COLS), dmc is not computed — no mean_cov
+    input, no transcendental work at all."""
+    from rsn.kernels.field_pallas import ACTS_COLS
+
+    packed = refs[:N_PACKED]
+    (w0, w1, w2, w3, w4, w5, w6, w7,
+     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
+     w_emb, b_mid, w_out, b_out) = packed
+    outs = refs[N_PACKED:]
+    dg_ref = outs[0]
+    dpacked = [r.at[0] for r in outs[1:]]
+    first = pl.program_id(1) == 0
+
+    @pl.when(first)
+    def _init():
+        for r in dpacked:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    ws = (w0, w1, w2, w3, w4, w5, w6, w7)
+    bs = (b0, b1, b2, b3, b4, b5, b6, b7)
+    g_rep = jnp.dot(E_ref[:], g_ref[:], preferred_element_type=jnp.float32)
+    T = xacts_ref.shape[0]
+    H = T // 2
+    dg_tot = None
+    for p in range(2):
+        sl = slice(p * H, (p + 1) * H)
+        parts = (xacts_ref[sl, ACTS_COLS:], None, None, None)
+        _, dg_all, contribs = _bwd_half(
+            parts, g_rep[sl, :], dout_ref[sl, :], (None,) * 4, ws, bs,
+            wh, bh, w_emb, b_mid, w_out, b_out,
+            acts_b=xacts_ref[sl, :ACTS_COLS], want_dmc=False)
+        dgp = jax.lax.dot_general(
+            E_ref[sl, :], dg_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dg_tot = dgp if dg_tot is None else dg_tot + dgp
+        for j, c in enumerate(contribs):
+            dpacked[j][:] += c
+    dg_ref[:] = dg_tot
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
@@ -510,6 +564,86 @@ def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
     return dmc, dg, dpacked
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
+                                               "inner", "interpret"))
+def field_backward_v6(packed, g_bands, xacts, d_out, samples_per_ray,
+                      tile: int = 512, inner: int = 16,
+                      interpret: bool = False):
+    """No-IPE recompute-free backward: same grid/accumulator structure
+    as field_backward_v5, but consumes the spill_x activations
+    (xacts: (N, XACTS_COLS) bf16 from field_forward_v6(spill_x=True))
+    and computes NO dmc — for call sites whose mean/cov cotangent is
+    provably dead (see _bwd_half want_dmc).  Removes every
+    transcendental (both sin/cos polys, exp2), the dvar/dpre_enc
+    elementwise chain, the two dmc matmuls, the layer-0 dgrad, and the
+    (N, 16) fp32 mean_cov input DMA.  Measured 2.79 -> 2.35 ms at the
+    fine-pass shape (tools/exp_bwd_noipe.py).
+
+    -> (dg (R, 512) f32, dpacked tuple matching `packed`).
+    """
+    from rsn.kernels.field_pallas import XACTS_COLS
+
+    n = xacts.shape[0]
+    assert n % tile == 0, (n, tile)
+    assert xacts.shape == (n, XACTS_COLS), (xacts.shape, n)
+    n_tiles = n // tile
+    inner = max(1, min(inner, n_tiles))
+    while n_tiles % inner:
+        inner -= 1
+    outer = n_tiles // inner
+    grid = (outer, inner)
+    assert tile % samples_per_ray == 0, (tile, samples_per_ray)
+    rays_per_tile = tile // samples_per_ray
+    n_rays = n // samples_per_ray
+    E = jnp.asarray(np.kron(np.eye(rays_per_tile, dtype=np.float32),
+                            np.ones((samples_per_ray, 1), np.float32)))
+
+    def row_map(o, i):
+        return (o * inner + i, 0)
+
+    in_specs = [
+        pl.BlockSpec((tile, XACTS_COLS), row_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 512), row_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(E.shape, lambda o, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for w in packed:
+        in_specs.append(pl.BlockSpec(w.shape, lambda o, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((n_rays, 512), jnp.float32)]
+    out_specs = [pl.BlockSpec((rays_per_tile, 512), row_map,
+                              memory_space=pltpu.VMEM)]
+    for w in packed:  # per-outer-group fp32 accumulators
+        out_shapes.append(
+            jax.ShapeDtypeStruct((outer,) + w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec((1,) + w.shape,
+                                      lambda o, i: (o, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    # 2x: dgrad + wgrad only (no recompute, no IPE)
+    flops_per_row = 2 * 2 * (ENC_PAD * 256 + 7 * 256 * 256 + SKIP_PAD * 256
+                             + 256 * OUT_DIM + 256 * 128 + 128 * 128)
+    res = pl.pallas_call(
+        _bwd_kernel_noipe,
+        grid=grid,
+        in_specs=in_specs,
+        interpret=interpret,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (V3_OUT + XACTS_COLS) * 2 + n_rays * 4096,
+            transcendentals=0),
+    )(xacts, g_bands.astype(jnp.float32), d_out, E, *packed)
+    return res[0], tuple(jnp.sum(a, axis=0) for a in res[1:])
+
+
 # ---- custom-VJP wrapper -------------------------------------------------
 # Takes the fp32 params PYTREE as the differentiable argument so weight
 # gradients stay fp32 end-to-end (the kernel's accumulators are fp32);
@@ -549,10 +683,10 @@ def _unpack_grads(params, dpacked):
     return g
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_field_train(params, mean_cov, g_bands, samples_per_ray,
                       tile=DEFAULT_TILE, want_normals=False,
-                      save_acts=False):
+                      save_acts=False, want_dmc=True):
     """Fused field forward with a recompute (or spill) backward.
 
     want_normals=True runs the v4 forward (cols V4_DPDM carry
@@ -567,6 +701,15 @@ def fused_field_train(params, mean_cov, g_bands, samples_per_ray,
     traffic for 1/3 of the backward's FLOPs.  Values and gradients are
     identical either way (the spilled bf16 activations equal the
     recomputed ones bit for bit).
+
+    want_dmc=False is a CALLER CONTRACT that the mean_cov cotangent is
+    dead (primary passes with the camera optimizer off: sample
+    positions are detached PDF bins over leaf rays).  The backward then
+    returns zeros for dmc, and with save_acts the no-IPE kernel runs
+    (field_backward_v6: x spilled by the forward, no transcendental
+    recompute, no dmc matmuls — measured -15% at the fine shape).
+    Passing False while mean_cov is live silently zeroes those
+    gradients — thread it only from rsn.models.model's rays_live logic.
     """
     from rsn.kernels.field_pallas import (field_forward_v4,
                                           pack_params_v3f, pack_params_v4f)
@@ -581,17 +724,18 @@ def fused_field_train(params, mean_cov, g_bands, samples_per_ray,
 
 
 def _fwd(params, mean_cov, g_bands, samples_per_ray, tile, want_normals,
-         save_acts):
+         save_acts, want_dmc):
     if save_acts:
         from rsn.kernels.field_pallas import (pack_params_v3f,
                                               pack_params_v4f)
         packed = (pack_params_v4f(params) if want_normals
                   else pack_params_v3f(params))
         out, acts = field_forward_v6(packed, mean_cov, g_bands,
-                                     samples_per_ray, tile, want_normals)
+                                     samples_per_ray, tile, want_normals,
+                                     spill_x=not want_dmc)
         return out, (params, mean_cov, g_bands, acts)
     out = fused_field_train(params, mean_cov, g_bands, samples_per_ray,
-                            tile, want_normals, save_acts)
+                            tile, want_normals, save_acts, want_dmc)
     return out, (params, mean_cov, g_bands, None)
 
 
@@ -614,12 +758,18 @@ def bwd_rays_per_tile(tile, samples_per_ray):
                  if rays_fwd % d == 0 and d >= 8), rays_fwd)
 
 
-def _bwd(samples_per_ray, tile, want_normals, save_acts, res, d_out):
+def _bwd(samples_per_ray, tile, want_normals, save_acts, want_dmc, res,
+         d_out):
     params, mean_cov, g_bands, acts = res
     packed = pack_params_v3(params)
     rays_per_tile_bwd = bwd_rays_per_tile(tile, samples_per_ray)
     tile_bwd = samples_per_ray * rays_per_tile_bwd
-    if acts is not None:
+    if acts is not None and not want_dmc:
+        dg, dpacked = field_backward_v6(
+            packed, g_bands, acts, d_out.astype(jnp.bfloat16),
+            samples_per_ray, tile_bwd)
+        dmc = jnp.zeros_like(mean_cov)  # dead by caller contract
+    elif acts is not None:
         dmc, dg, dpacked = field_backward_v5(
             packed, mean_cov, g_bands, acts, d_out.astype(jnp.bfloat16),
             samples_per_ray, tile_bwd)

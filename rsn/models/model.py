@@ -72,7 +72,8 @@ def apply_collider(ray_bundle: RayBundle, cfg: ModelConfig) -> RayBundle:
 
 
 def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
-                training: bool, want_normals: bool = False):
+                training: bool, want_normals: bool = False,
+                want_dmc: bool = True):
     """One field evaluation shared by all four passes: contraction +
     trunk + heads + factored mid branch.
 
@@ -82,6 +83,10 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
     Pallas v3 kernel; training uses the XLA composition for autodiff —
     or, with use_pallas_train, the custom-VJP fused kernel whose v4
     forward also emits the analytic-normals gradient (want_normals).
+
+    want_dmc=False asserts this call's mean/cov cotangent is dead
+    (primary passes when rays are autograd leaves) so the fused train
+    path can run the no-IPE backward; see fused_field_train.
     """
     blob = rays_lib.get_gaussian_blob(ray_samples)
     mean, cov_diag = contract_blob(blob)
@@ -112,7 +117,7 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
             from rsn.kernels.field_train import fused_field_train
             out = fused_field_train(params, mc, g, S, tile,
                                     training and want_normals,
-                                    fcfg.save_acts)[:R * S]
+                                    fcfg.save_acts, want_dmc)[:R * S]
         else:
             out = fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, S,
                                       tile)[:R * S]
@@ -144,10 +149,16 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
 
 
 def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
-                  training: bool):
-    """Shared body of passes 1 & 2: field evals + per-sample heads."""
+                  training: bool, rays_live: bool = True):
+    """Shared body of passes 1 & 2: field evals + per-sample heads.
+
+    rays_live=False: the ray bundle's origins/directions/pixel_area are
+    autograd leaves (no camera optimizer), so — with the PDF bins
+    detached (core/sampling.py) — this pass's mean/cov carry no live
+    gradient and the fused train kernel may skip the IPE backward."""
     f, mean, cov_diag = _eval_field(params, ray_samples, fcfg, training,
-                                    want_normals=training)
+                                    want_normals=training,
+                                    want_dmc=rays_live)
     weights = ray_samples.get_weights(f["density"])
 
     pred_normals = f["pred_normals"]
@@ -188,8 +199,15 @@ def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
 
 def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
                 cfg: ModelConfig, training: bool,
-                prop_params=None, prop_anneal=None) -> Dict[str, jax.Array]:
+                prop_params=None, prop_anneal=None,
+                rays_live: bool = True) -> Dict[str, jax.Array]:
     """The 4-pass render. ray_bundle must already be collided.
+
+    rays_live: whether ray_bundle's geometry carries live gradients
+    (True whenever in doubt — the trainer passes False when the camera
+    optimizer is off, letting the fused train kernels skip the dead
+    IPE backward of the primary passes; the reflected passes always
+    keep it, their cone radius is live through the roughness head).
 
     With cfg.use_proposal and prop_params given, the coarse pass runs
     the small proposal field instead of the main field (density only,
@@ -242,7 +260,7 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         rs_uniform = spaced_sample(ray_bundle, uniform,
                                    cfg.num_coarse_samples,
                                    key=strat(k_uni))
-        c = _primary_pass(params, rs_uniform, fcfg, training)
+        c = _primary_pass(params, rs_uniform, fcfg, training, rays_live)
         coarse_weights = c["weights"]
         sampling_weights = coarse_weights
         accumulation_coarse = render_accumulation(c["weights"])
@@ -255,7 +273,7 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
     # ---- pass 2: fine (model.py:182-227) ----
     rs_pdf = pdf_sample(ray_bundle, rs_uniform, sampling_weights, uniform,
                         cfg.num_importance_samples, key=strat(k_pdf))
-    f = _primary_pass(params, rs_pdf, fcfg, training)
+    f = _primary_pass(params, rs_pdf, fcfg, training, rays_live)
     accumulation_fine = render_accumulation(f["weights"])
     depth_fine = render_depth_median(f["weights"], rs_pdf.starts, rs_pdf.ends)
     mid_rgb_fine = jnp.clip(

@@ -468,3 +468,77 @@ def test_custom_vjp_chain_save_acts_matches_recompute(setup):
     finally:
         for name, orig in patches.items():
             setattr(ft, name, orig)
+
+
+def test_backward_v6_noipe_matches_v5(setup):
+    """The no-IPE backward (dead-dmc contract, x from the spill) must
+    reproduce v5's dg/dpacked exactly up to the poly-vs-exact x
+    difference already bounded by the v5-vs-v4 test."""
+    params, mc, g = setup
+    d_out = jax.random.normal(jax.random.PRNGKey(6),
+                              (N, fp.V3_OUT)).astype(jnp.bfloat16)
+    packed = fp.pack_params_v3(params)
+    _, acts = fp.field_forward_v6(fp.pack_params_v3f(params), mc, g, S,
+                                  tile=TILE, interpret=True)
+    _, xacts = fp.field_forward_v6(fp.pack_params_v3f(params), mc, g, S,
+                                   tile=TILE, interpret=True, spill_x=True)
+    # spill_x layout: the first ACTS_COLS are the plain acts, the tail
+    # is the padded IPE encoding x
+    np.testing.assert_array_equal(
+        np.asarray(xacts[:, :fp.ACTS_COLS], np.float32),
+        np.asarray(acts, np.float32))
+    assert xacts.shape == (N, fp.XACTS_COLS)
+
+    dmc5, dg5, dp5 = ft.field_backward_v5(packed, mc, g, acts, d_out, S,
+                                          tile=TILE, inner=2,
+                                          interpret=True)
+    dg6, dp6 = ft.field_backward_v6(packed, g, xacts, d_out, S,
+                                    tile=TILE, inner=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(dg6), np.asarray(dg5),
+                               rtol=1e-4, atol=1e-4)
+    for a5, a6 in zip(dp5, dp6):
+        scale = max(1e-3, float(np.abs(np.asarray(a5)).max()))
+        np.testing.assert_allclose(np.asarray(a6) / scale,
+                                   np.asarray(a5) / scale,
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_custom_vjp_chain_no_dmc_matches_full(setup):
+    """fused_field_train(want_dmc=False): parameter gradients equal the
+    full path's, and the mean_cov cotangent comes back exactly zero
+    (the caller contract says it is dead)."""
+    import functools
+    params, mc, g = setup
+    w_rand = jax.random.normal(jax.random.PRNGKey(7), (N, fp.V3_OUT))
+
+    patches = {
+        "field_forward_v3": ft.field_forward_v3,
+        "field_forward_v6": ft.field_forward_v6,
+        "field_backward_v4": ft.field_backward_v4,
+        "field_backward_v5": ft.field_backward_v5,
+        "field_backward_v6": ft.field_backward_v6,
+    }
+    for name, orig in patches.items():
+        setattr(ft, name, functools.partial(orig, interpret=True))
+    try:
+        def loss(p, m, want_dmc):
+            out = ft.fused_field_train(p, m, g, S, TILE, False, True,
+                                       want_dmc)
+            return jnp.sum(out.astype(jnp.float32) * w_rand)
+
+        (g_full, dmc_full) = jax.grad(
+            lambda p, m: loss(p, m, True), argnums=(0, 1))(params, mc)
+        (g_nodmc, dmc_nodmc) = jax.grad(
+            lambda p, m: loss(p, m, False), argnums=(0, 1))(params, mc)
+        assert float(jnp.abs(dmc_nodmc).max()) == 0.0
+        assert float(jnp.abs(dmc_full).max()) > 0.0  # sanity: live here
+        flat_f, _ = jax.tree.flatten(g_full)
+        flat_n, _ = jax.tree.flatten(g_nodmc)
+        for a, r in zip(flat_n, flat_f):
+            scale = max(1e-3, float(np.abs(np.asarray(r)).max()))
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(r) / scale,
+                                       rtol=2e-3, atol=2e-3)
+    finally:
+        for name, orig in patches.items():
+            setattr(ft, name, orig)

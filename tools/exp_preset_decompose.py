@@ -62,6 +62,7 @@ def main():
 
     def loss_fn(p, pp, k):
         outputs = model_lib.get_outputs(p, bundle, k, mcfg, training=True,
+                                        rays_live=False,
                                         prop_params=pp,
                                         prop_anneal=jnp.float32(1.0))
         return sum(jax.tree.leaves(model_lib.get_loss_dict(

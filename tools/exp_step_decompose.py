@@ -38,7 +38,8 @@ def main():
     coeffs = loss_coefficients_traced(jnp.int32(1000))
 
     def loss_fn(p, k):
-        outputs = model_lib.get_outputs(p, bundle, k, mcfg, training=True)
+        outputs = model_lib.get_outputs(p, bundle, k, mcfg, training=True,
+                                       rays_live=False)
         return sum(jax.tree.leaves(model_lib.get_loss_dict(
             outputs, gt, coeffs)))
 
