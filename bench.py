@@ -85,8 +85,41 @@ def main() -> None:
         directions=d, pixel_area=jnp.full((R, 1), 1e-6),
         nears=jnp.zeros((R, 1)), fars=jnp.ones((R, 1)))
     bundle = model_lib.apply_collider(bundle, mcfg)
-    render = jax.jit(lambda p, b, k: model_lib.get_outputs(
-        p, b, k, mcfg, training=False)["mid_rgb_fine"])
+
+    def settle_render_cfg(cfg_m, prop):
+        """Mirror render_image's adaptive eval compaction (trainer.py):
+        pick the smallest fraction bucket covering the observed mask
+        fraction + headroom and VERIFY zero overflow on this batch —
+        the timed program is bit-identical to fraction 1.0 (only
+        masked rays pay the reflected passes, the reference's own
+        gather semantics, reflect_sampling_nerf_model.py:267)."""
+        from rsn.engine.trainer import (REFLECT_FRACTION_BUCKETS,
+                                        REFLECT_HEADROOM)
+        if not (cfg_m.adaptive_eval_reflect_fraction
+                and cfg_m.use_reflection):
+            return cfg_m
+        probe = jax.jit(lambda p, b, k: model_lib.get_outputs(
+            p, b, k, cfg_m, training=False, prop_params=prop)["mask"])
+        mask_frac = float(jnp.mean(probe(state.params, bundle, key)))
+        need = min(1.0, mask_frac + REFLECT_HEADROOM)
+        frac = next(b for b in REFLECT_FRACTION_BUCKETS if b >= need)
+        while frac < 1.0:
+            cfg_b = dataclasses.replace(cfg_m,
+                                        eval_reflect_ray_fraction=frac)
+            ov = jax.jit(lambda p, b, k: model_lib.get_outputs(
+                p, b, k, cfg_b, training=False,
+                prop_params=prop)["reflect_overflow"])
+            if float(ov(state.params, bundle, key)) == 0.0:
+                return cfg_b
+            frac = next(b for b in REFLECT_FRACTION_BUCKETS if b > frac)
+        return cfg_m
+
+    # select the PRODUCT image (final_rgb = mid_reflect_fine): selecting
+    # mid_rgb_fine would let XLA DCE the whole reflected computation and
+    # inflate the number ~1.5x (same trap as the train-step timing note)
+    mcfg_r = settle_render_cfg(mcfg, None)
+    render = jax.jit(lambda p, b, k: model_lib.final_rgb(
+        model_lib.get_outputs(p, b, k, mcfg_r, training=False)))
     render_dt = time_fn(render, state.params, bundle, key)
     render_rays_s = R / render_dt
 
@@ -112,8 +145,10 @@ def main() -> None:
     pstep_fn = jax.jit(lambda s, k: ptrain_step(s, images, ds.cameras, k))
     ptrain_dt = time_fn(
         lambda s, k: pstep_fn(s, k)[1]["total_loss"], pstate, key)
-    prender = jax.jit(lambda p, b, k: model_lib.get_outputs(
-        p, b, k, pcfg, training=False, prop_params=prop)["mid_rgb_fine"])
+    pcfg_r = settle_render_cfg(pcfg, prop)
+    prender = jax.jit(lambda p, b, k: model_lib.final_rgb(
+        model_lib.get_outputs(p, b, k, pcfg_r, training=False,
+                              prop_params=prop)))
     prender_dt = time_fn(prender, state.params, bundle, key)
 
     # harmonic mean: one train ray + one render ray per "unit of use"

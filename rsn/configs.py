@@ -88,6 +88,15 @@ class ModelConfig:
     # eval/render-mode cap (1.0 = process every masked ray exactly,
     # like the reference's gather; lower it only for preview renders)
     eval_reflect_ray_fraction: float = 1.0
+    # Adaptive eval-side compaction (engine/trainer.render_image): full
+    # renders start at the remembered bucket, and any chunk whose
+    # masked rays overflow the cap triggers an automatic re-render at a
+    # larger bucket — results are bit-identical to fraction 1.0 (only
+    # masked rays ever pay the reflected passes, exactly the
+    # reference's gather, model.py:267), but unmasked rays stop paying
+    # for them.  Only active when eval_reflect_ray_fraction == 1.0 (an
+    # explicit lower setting is a user-chosen approximation and wins).
+    adaptive_eval_reflect_fraction: bool = True
     # Optional proposal-network sampling (rsn/models/proposal.py): the
     # coarse pass runs a small density-only field trained against the
     # mip-NeRF-360 interlevel loss, binding the reference's otherwise

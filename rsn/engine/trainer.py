@@ -257,6 +257,12 @@ def make_eval_batch_step(config: TrainerConfig):
 
 
 _RENDER_ALL_CACHE: Dict[Any, Any] = {}
+# Adaptive eval-compaction bucket memory: last-known-good
+# eval_reflect_ray_fraction per (model config, chunking, mesh) — see
+# render_image.  Values only ever produce EXACT results (overflow
+# triggers a re-render at a larger bucket), so this is purely a
+# throughput memo, safe to share across scenes/checkpoints.
+_EVAL_REFLECT_STATE: Dict[Any, float] = {}
 
 
 def preferred_eval_chunk(config: TrainerConfig) -> int:
@@ -281,6 +287,8 @@ def render_image(params, cameras: Cameras, camera_index: int,
     bundle semantics, SURVEY.md §3.3), optionally sharded over a mesh."""
     from rsn.data.cameras import generate_image_rays
 
+    import dataclasses
+
     mcfg = config.pipeline.model
     chunk = rays_per_chunk or mcfg.eval_num_rays_per_chunk
     if mesh is not None:
@@ -290,24 +298,6 @@ def render_image(params, cameras: Cameras, camera_index: int,
     total = H * W
     if key is None:
         key = jax.random.PRNGKey(0)
-
-    def render_chunk(params, batch, key):
-        params, prop = params  # (fields, proposal-or-None)
-        o, d, pa = batch
-        n = o.shape[0]
-        zeros = jnp.zeros((n, 1))
-        rb = RayBundle(origins=o, directions=d, pixel_area=pa,
-                       nears=zeros, fars=zeros)
-        rb = model_lib.apply_collider(rb, mcfg)
-        out = model_lib.get_outputs(params, rb, key, mcfg, training=False,
-                                    prop_params=prop)
-        keep = ("mid_rgb_coarse", "mid_rgb_fine", "mid_reflect_coarse",
-                "mid_reflect_fine", "accumulation_coarse",
-                "accumulation_fine", "depth_coarse", "depth_fine",
-                "roughness")
-        # mid_reflect_* are absent in primary-only mode (use_reflection
-        # False)
-        return {k: out[k] for k in keep if k in out}
 
     # the WHOLE image renders in ONE dispatch: chunks iterate inside jit
     # via lax.map (sequential, VMEM-bounded), and only the finished
@@ -329,39 +319,110 @@ def render_image(params, cameras: Cameras, camera_index: int,
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i * chunk))(
         jnp.arange(n_chunks))
 
+    mesh_key = None if mesh is None else (
+        tuple(dev.id for dev in mesh.devices.flat), mesh.axis_names)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        inner = jax.shard_map(
-            render_chunk, mesh=mesh,
-            in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
-            out_specs=P(mesh_lib.DATA_AXIS), check_vma=False)
         params = jax.device_put(params, mesh_lib.replicated(mesh))
         shard = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
         o, d, pa = (jax.device_put(x, shard) for x in (o, d, pa))
-    else:
-        inner = render_chunk
 
-    # cache the jitted whole-image program across calls (a fresh jit
-    # wrapper per call would re-trace for every image); keyed on the
-    # mesh's device set, not just its presence
-    mesh_key = None if mesh is None else (
-        tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
-    # mcfg is a frozen dataclass: hashable with value-based equality over
-    # EVERY field (unlike repr, which silently drops repr=False fields)
-    cache_key = (mcfg, chunk, n_chunks, mesh_key,
-                 prop_params is None)
-    render_all = _RENDER_ALL_CACHE.get(cache_key)
-    if render_all is None:
-        if len(_RENDER_ALL_CACHE) > 16:  # bound compiled-program memory
-            _RENDER_ALL_CACHE.pop(next(iter(_RENDER_ALL_CACHE)))
-        @jax.jit
-        def render_all(params, o, d, pa, keys, _inner=inner):
-            return jax.lax.map(
-                lambda xs: _inner(params, (xs[0], xs[1], xs[2]), xs[3]),
-                (o, d, pa, keys))
-        _RENDER_ALL_CACHE[cache_key] = render_all
+    def run_with(mcfg_b):
+        """Compile (cached) + run the whole-image program for one model
+        config; returns the stacked per-chunk device outputs."""
 
-    stacked = jax.device_get(render_all(params, o, d, pa, keys))
+        def render_chunk(params, batch, key):
+            params, prop = params  # (fields, proposal-or-None)
+            o, d, pa = batch
+            n = o.shape[0]
+            zeros = jnp.zeros((n, 1))
+            rb = RayBundle(origins=o, directions=d, pixel_area=pa,
+                           nears=zeros, fars=zeros)
+            rb = model_lib.apply_collider(rb, mcfg_b)
+            out = model_lib.get_outputs(params, rb, key, mcfg_b,
+                                        training=False, prop_params=prop)
+            keep = ("mid_rgb_coarse", "mid_rgb_fine", "mid_reflect_coarse",
+                    "mid_reflect_fine", "accumulation_coarse",
+                    "accumulation_fine", "depth_coarse", "depth_fine",
+                    "roughness")
+            # mid_reflect_* are absent in primary-only mode
+            # (use_reflection False)
+            res = {k: out[k] for k in keep if k in out}
+            # compaction telemetry, broadcast per-ray so it shards like
+            # the image outputs (each device reports its own shard):
+            # "_overflow" > 0 anywhere means a masked ray was dropped
+            # (triggers the exactness re-render), "_mask" feeds the
+            # bucket controller.  Stripped before the image reshape.
+            if "mask" in out:
+                res["_mask"] = out["mask"][:, None].astype(jnp.float32)
+                res["_overflow"] = jnp.broadcast_to(
+                    out["reflect_overflow"], (n, 1))
+            return res
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            inner = jax.shard_map(
+                render_chunk, mesh=mesh,
+                in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
+                out_specs=P(mesh_lib.DATA_AXIS), check_vma=False)
+        else:
+            inner = render_chunk
+
+        # cache the jitted whole-image program across calls (a fresh jit
+        # wrapper per call would re-trace for every image); keyed on the
+        # mesh's device set, not just its presence.  mcfg is a frozen
+        # dataclass: hashable with value-based equality over EVERY field
+        # (unlike repr, which silently drops repr=False fields)
+        cache_key = (mcfg_b, chunk, n_chunks, mesh_key,
+                     prop_params is None)
+        render_all = _RENDER_ALL_CACHE.get(cache_key)
+        if render_all is None:
+            if len(_RENDER_ALL_CACHE) > 16:  # bound compiled programs
+                _RENDER_ALL_CACHE.pop(next(iter(_RENDER_ALL_CACHE)))
+            @jax.jit
+            def render_all(params, o, d, pa, keys, _inner=inner):
+                return jax.lax.map(
+                    lambda xs: _inner(params, (xs[0], xs[1], xs[2]),
+                                      xs[3]),
+                    (o, d, pa, keys))
+            _RENDER_ALL_CACHE[cache_key] = render_all
+        return render_all(params, o, d, pa, keys)
+
+    # Adaptive eval-side compaction: unmasked rays never needed the
+    # reflected passes (the reference gathers the masked subset,
+    # model.py:267) — render at the remembered fraction bucket and
+    # RE-RENDER at a larger bucket if any chunk dropped a masked ray,
+    # so the result is always bit-identical to fraction 1.0.  The
+    # bucket for the NEXT call tracks the worst per-shard-chunk mask
+    # fraction plus headroom.
+    adaptive = (mcfg.adaptive_eval_reflect_fraction and mcfg.use_reflection
+                and mcfg.eval_reflect_ray_fraction >= 1.0)
+    state_key = (mcfg, chunk, mesh_key)
+    frac = _EVAL_REFLECT_STATE.get(state_key, 1.0) if adaptive else 1.0
+    while True:
+        mcfg_b = (mcfg if frac >= 1.0 else dataclasses.replace(
+            mcfg, eval_reflect_ray_fraction=frac))
+        stacked = jax.device_get(run_with(mcfg_b))
+        overflow = stacked.pop("_overflow", None)
+        mask_arr = stacked.pop("_mask", None)
+        if not adaptive:
+            break
+        if frac < 1.0 and overflow is not None and \
+                float(np.max(overflow)) > 0.0:
+            frac = next(b for b in REFLECT_FRACTION_BUCKETS if b > frac)
+            continue
+        if mask_arr is not None:
+            # worst mask fraction at the compaction granularity (one
+            # top-k per shard per chunk)
+            shards = 1 if mesh is None else mesh.devices.size
+            per = np.mean(
+                np.asarray(mask_arr).reshape(n_chunks * shards, -1),
+                axis=1)
+            need = min(1.0, float(np.max(per)) + REFLECT_HEADROOM)
+            _EVAL_REFLECT_STATE[state_key] = next(
+                b for b in REFLECT_FRACTION_BUCKETS if b >= need)
+        break
+
     return {k: np.asarray(v).reshape(pad_total, -1)[:total].reshape(
         H, W, -1) for k, v in stacked.items()}
 

@@ -91,3 +91,55 @@ def test_render_image_chunk_size_invariant():
                                    err_msg=f"{k} 128-vs-32")
         np.testing.assert_allclose(c[k], a[k], atol=1e-5, rtol=1e-4,
                                    err_msg=f"{k} 300-vs-32")
+
+
+def test_render_image_adaptive_compaction_exact():
+    """Adaptive eval compaction (render_image): results must be
+    bit-identical to the fraction-1.0 render — including when the
+    remembered bucket is too small and a masked ray would overflow
+    (the exactness re-render must trigger).  Uses crafted normals so
+    exactly half of each chunk's rays are masked."""
+    from rsn.engine import trainer as trainer_lib
+
+    cfg = TrainerConfig(pipeline=PipelineConfig(
+        datamanager=DataManagerConfig(dataparser="synthetic"),
+        model=ModelConfig(num_coarse_samples=8, num_importance_samples=8,
+                          num_reflect_coarse_samples=4,
+                          num_reflect_importance_samples=4,
+                          eval_num_rays_per_chunk=64)))
+    ds = make_synthetic_dataset(num_cameras=2, H=16, W=16)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    # pred_normals = (0, -1, 0) everywhere -> n.d < 0 for half the
+    # image's rays (measured 0.5 per chunk on this scene)
+    params["normals"]["w"] = jnp.zeros_like(params["normals"]["w"])
+    params["normals"]["b"] = jnp.asarray([0.0, 5.0, 0.0])
+
+    trainer_lib._EVAL_REFLECT_STATE.clear()
+    # reference result: adaptive disabled
+    import dataclasses
+    cfg_off = dataclasses.replace(cfg, pipeline=dataclasses.replace(
+        cfg.pipeline, model=dataclasses.replace(
+            cfg.pipeline.model, adaptive_eval_reflect_fraction=False)))
+    full = render_image(params, ds.cameras, 0, cfg_off)
+
+    # first adaptive call starts at 1.0 (no memory), must equal full
+    first = render_image(params, ds.cameras, 0, cfg)
+    assert trainer_lib._EVAL_REFLECT_STATE, "bucket memory not written"
+    for k in full:
+        np.testing.assert_array_equal(first[k], full[k], err_msg=k)
+    # second call renders at the remembered bucket (0.625 for the 0.5
+    # mask fraction + headroom) — values still identical (exact while
+    # #masked <= K)
+    (state_key,) = trainer_lib._EVAL_REFLECT_STATE
+    assert trainer_lib._EVAL_REFLECT_STATE[state_key] < 1.0
+    second = render_image(params, ds.cameras, 0, cfg)
+    for k in full:
+        np.testing.assert_array_equal(second[k], full[k], err_msg=k)
+    # force an undersized bucket: masked rays would overflow the cap,
+    # the exactness re-render must kick in and restore equality
+    trainer_lib._EVAL_REFLECT_STATE[state_key] = 0.25
+    retried = render_image(params, ds.cameras, 0, cfg)
+    for k in full:
+        np.testing.assert_array_equal(retried[k], full[k], err_msg=k)
+    # and the retry must have raised the remembered bucket
+    assert trainer_lib._EVAL_REFLECT_STATE[state_key] > 0.25
