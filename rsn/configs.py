@@ -152,6 +152,10 @@ class ModelConfig:
     #                     (measured on v5e: fwd+bwd 5.24 -> 4.58 ms at
     #                     the fine-pass shape, tools/exp_bwd_acts.py)
     use_pallas_acts: bool = True
+    #   pallas_interpret: run the eval kernel in Pallas interpret mode
+    #                     so the kernel-branch model glue is exercised
+    #                     by the CPU test suite (tests only; slow)
+    pallas_interpret: bool = False
     bug_compat: BugCompat = dfield(default_factory=BugCompat)
 
 

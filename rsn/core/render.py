@@ -104,6 +104,65 @@ def render_scalar(values: jax.Array, weights: jax.Array) -> jax.Array:
     return jnp.sum(weights * values, axis=-2)
 
 
+# ---- plane-layout variants ----------------------------------------------
+# The kernel-branch eval path slices per-sample quantities out of the
+# fused kernel's (R, S, 128) output as (R, S) component PLANES whose
+# minor axis is the sample count — full 128-lane VPU tiles — instead of
+# (R, S, 3)/(R, S, 1) arrays whose minor dim of 3 or 1 wastes 125/128
+# lanes (measured 3x on the fine-pass composite set at render shapes).
+# Same math as the (..., 3)-layout functions above, reassociated over
+# the lane axis (fp32 sums differ by ulps only).
+
+
+def weights_planes(density: jax.Array, deltas: jax.Array) -> jax.Array:
+    """Alpha-compositing weights, plane layout: (R, S), (R, S) -> (R, S).
+
+    Mirrors rays.RaySamples.get_weights (exclusive-cumsum transmittance,
+    nerfstudio semantics) on sample-minor planes."""
+    delta_density = deltas * density
+    alphas = 1.0 - jnp.exp(-delta_density)
+    tau = jnp.cumsum(delta_density[..., :-1], axis=-1)
+    tau = jnp.concatenate([jnp.zeros_like(tau[..., :1]), tau], axis=-1)
+    return jnp.nan_to_num(alphas * jnp.exp(-tau))
+
+
+def composite_planes(weights: jax.Array, *planes: jax.Array) -> list:
+    """Weighted per-ray reductions: (R, S) w + N x (R, S) -> N x (R, 1)."""
+    return [jnp.sum(weights * p, axis=-1, keepdims=True) for p in planes]
+
+
+def render_rgb_planes(weights: jax.Array, rgb_planes, background_color=None,
+                      key=None, training: bool = True) -> jax.Array:
+    """render_rgb on 3 (R, S) channel planes -> (R, 3)."""
+    if not training:
+        rgb_planes = [jnp.nan_to_num(p) for p in rgb_planes]
+    comp = jnp.concatenate(composite_planes(weights, *rgb_planes), axis=-1)
+    acc = jnp.sum(weights, axis=-1, keepdims=True)
+    if isinstance(background_color, str):
+        assert background_color == "random"
+        assert key is not None, "random background needs a PRNG key"
+        bg = jax.random.uniform(key, comp.shape, dtype=comp.dtype)
+    elif background_color is None:
+        bg = None
+    else:
+        bg = jnp.asarray(background_color, dtype=comp.dtype)
+    if bg is not None:
+        comp = comp + bg * (1.0 - acc)
+    if not training:
+        comp = jnp.clip(comp, 0.0, 1.0)
+    return comp
+
+
+def render_depth_median_planes(weights: jax.Array, starts: jax.Array,
+                               ends: jax.Array) -> jax.Array:
+    """render_depth_median on (R, S) planes -> (R, 1)."""
+    steps = (starts + ends) / 2.0  # (R, S)
+    cum = jnp.cumsum(weights, axis=-1)
+    depth = jnp.min(jnp.where(cum >= 0.5, steps, jnp.inf),
+                    axis=-1, keepdims=True)
+    return jnp.minimum(depth, steps[..., -1:])
+
+
 def blend_background_for_loss_computation(
         pred_image: jax.Array, pred_accumulation: jax.Array,
         gt_image: jax.Array, background_color: jax.Array = WHITE):

@@ -50,6 +50,9 @@ class FieldConfig:
     use_pallas: bool = False  # fused field kernel (forward/eval path)
     use_pallas_train: bool = False  # fused custom-VJP kernel for training
     save_acts: bool = False  # v6 fwd spills trunk acts; v5 bwd skips recompute
+    # run the eval kernels in Pallas interpret mode (CPU tests of the
+    # kernel-branch model glue; never set in production configs)
+    pallas_interpret: bool = False
 
 
 def _linear_init(key: jax.Array, in_dim: int, out_dim: int) -> Params:

@@ -38,9 +38,11 @@ from rsn.core import rays as rays_lib
 from rsn.core.contract import contract_blob
 from rsn.core.rays import RayBundle
 from rsn.core.render import (WHITE, blend_background_for_loss_computation,
-                             normalize, render_accumulation,
-                             render_depth_median, render_normals, render_rgb,
-                             render_scalar)
+                             composite_planes, normalize,
+                             render_accumulation, render_depth_median,
+                             render_depth_median_planes, render_normals,
+                             render_rgb, render_rgb_planes, render_scalar,
+                             safe_sqrt, weights_planes)
 from rsn.core.sampling import pdf_sample
 from rsn.core.spacing import (identity_spacing, reciprocal_spacing,
                               spaced_sample)
@@ -53,14 +55,20 @@ sg = jax.lax.stop_gradient
 def _field_cfg(cfg: ModelConfig) -> FieldConfig:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     on_accel = jax.default_backend() != "cpu"
-    use_pallas = cfg.use_pallas and dtype == jnp.bfloat16 and on_accel
+    # pallas_interpret lets the CPU test suite drive the kernel-branch
+    # glue (eval path only; the train kernels are interpret-tested
+    # directly in tests/test_field_train_kernel.py)
+    use_pallas = (cfg.use_pallas and dtype == jnp.bfloat16
+                  and (on_accel or cfg.pallas_interpret))
     return FieldConfig(compute_dtype=dtype,
                        sh_l8_m7_2x=cfg.bug_compat.sh_l8_m7_2x,
                        use_pallas=use_pallas,
-                       use_pallas_train=(use_pallas
+                       use_pallas_train=(use_pallas and on_accel
                                          and cfg.use_pallas_train),
-                       save_acts=(use_pallas and cfg.use_pallas_train
-                                  and cfg.use_pallas_acts))
+                       save_acts=(use_pallas and on_accel
+                                  and cfg.use_pallas_train
+                                  and cfg.use_pallas_acts),
+                       pallas_interpret=cfg.pallas_interpret)
 
 
 def apply_collider(ray_bundle: RayBundle, cfg: ModelConfig) -> RayBundle:
@@ -88,29 +96,31 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
     (primary passes when rays are autograd leaves) so the fused train
     path can run the no-IPE backward; see fused_field_train.
     """
-    blob = rays_lib.get_gaussian_blob(ray_samples)
-    mean, cov_diag = contract_blob(blob)
     ray_dirs = ray_samples.directions[..., 0, :]  # constant along ray
 
     use_kernel = fcfg.use_pallas and (not training
                                       or fcfg.use_pallas_train)
     if use_kernel:
+        from rsn.core.contract import packed_contract_planes
         from rsn.kernels import field_pallas as fp
 
-        R, S = mean.shape[0], mean.shape[1]
+        R, S = ray_samples.starts.shape[0], ray_samples.starts.shape[1]
         # v3 (render) is fastest at tile 4096, the v4 forward at 2048
         # (tools/exp_halves_tile.py min-of-3 sweep); the recompute-
         # backward carries ~3x the live set and clamps itself to 1024
         # inside fused_field_train._bwd
         base_tile = 2048 if training else 4096
+        if fcfg.pallas_interpret:  # keep CPU interpret tests tractable
+            base_tile = 64
         # >=8 rays per tile: the per-ray g_bands blocks (fwd expansion
         # and bwd dg reduction) need >=8 sublanes (Mosaic constraint)
         rays_per_tile = max(8, base_tile // S)
         tile = S * rays_per_tile
         r_pad = -(-R // rays_per_tile) * rays_per_tile
-        mc = jnp.concatenate([mean, cov_diag], axis=-1).reshape(R * S, 6)
-        mc = jnp.pad(mc, ((0, (r_pad - R) * S), (0, fp.IN_COLS - 6))
-                     ).astype(jnp.float32)
+        # blob+contract+pack in (R, S) component planes (full-lane VPU
+        # tiles; the (R, S, 3) form wastes 125/128 lanes — contract.py)
+        mc = jnp.pad(packed_contract_planes(ray_samples, fp.IN_COLS),
+                     ((0, (r_pad - R) * S), (0, 0)))
         g = fp.mid_g_bands(params, ray_dirs, fcfg.sh_l8_m7_2x)
         g = jnp.pad(g, ((0, r_pad - R), (0, 0)))
         if training:
@@ -120,7 +130,9 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
                                     fcfg.save_acts, want_dmc)[:R * S]
         else:
             out = fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, S,
-                                      tile)[:R * S]
+                                      tile,
+                                      interpret=fcfg.pallas_interpret
+                                      )[:R * S]
         out = out.reshape(R, S, fp.V3_OUT)
         preact = out[..., fp.V3_DENSITY:fp.V3_DENSITY + 1].astype(
             jnp.float32)
@@ -137,8 +149,16 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
         if training and want_normals:
             dpdm = out[..., fp.V4_DPDM].astype(jnp.float32)
             f["normals"] = sg(-normalize(dpdm))
-        return f, mean, cov_diag
+        # raw (R, S, V3_OUT) kernel output: the eval path composites
+        # directly from its (R, S) column planes (full-lane VPU tiles)
+        f["_out"] = out
+        # mean/cov_diag are consumed only by the XLA analytic-normals
+        # fallback, which the kernel path never takes (normals come
+        # from the fused v4 forward)
+        return f, None, None
 
+    blob = rays_lib.get_gaussian_blob(ray_samples)
+    mean, cov_diag = contract_blob(blob)
     f = field_lib.get_field_outputs(params, mean, cov_diag, fcfg,
                                     differentiable=training)
     rough_sp = jax.nn.softplus(f["rough_raw"])
@@ -159,7 +179,19 @@ def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
     f, mean, cov_diag = _eval_field(params, ray_samples, fcfg, training,
                                     want_normals=training,
                                     want_dmc=rays_live)
-    weights = ray_samples.get_weights(f["density"])
+    out_planes = f.get("_out") if not training else None
+    if out_planes is not None:
+        # eval kernel path: weights from (R, S) sample-minor planes
+        # (identical math to get_weights; see render.weights_planes)
+        from rsn.kernels.field_pallas import V3_DENSITY
+
+        dens = jax.nn.softplus(
+            out_planes[..., V3_DENSITY].astype(jnp.float32)
+            + field_lib.DENSITY_BIAS)
+        deltas = (ray_samples.ends - ray_samples.starts)[..., 0]
+        weights = weights_planes(dens, deltas)[..., None]
+    else:
+        weights = ray_samples.get_weights(f["density"])
 
     pred_normals = f["pred_normals"]
     if training:
@@ -183,7 +215,8 @@ def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
     return dict(weights=weights, rough_raw=f["rough_raw"],
                 pred_normals=pred_normals,
                 normals=normals, reflections=reflections, n_dot_d=n_dot_d,
-                diff=f["diff"], tint=f["tint"], mid=f["mid_out"])
+                diff=f["diff"], tint=f["tint"], mid=f["mid_out"],
+                out_planes=out_planes)
 
 
 def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
@@ -191,6 +224,19 @@ def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
     """Shared body of passes 3 & 4: reflected radiance with detached
     weights (model.py:292-313, 317-339)."""
     f, _, _ = _eval_field(params, ray_samples, fcfg, training)
+    out = f.get("_out") if not training else None
+    if out is not None:
+        # eval kernel path: plane-layout weights + composite
+        from rsn.kernels.field_pallas import V3_DENSITY
+
+        dens = jax.nn.softplus(out[..., V3_DENSITY].astype(jnp.float32)
+                               + field_lib.DENSITY_BIAS)
+        deltas = (ray_samples.ends - ray_samples.starts)[..., 0]
+        wS = weights_planes(dens, deltas)
+        composited = render_rgb_planes(
+            wS, [out[..., c].astype(jnp.float32) for c in range(3)],
+            background_color=bg_color, training=False)
+        return wS[..., None], composited
     weights = sg(ray_samples.get_weights(f["density"]))
     composited = render_rgb(f["mid_out"], weights, background_color=bg_color,
                             training=training)
@@ -263,34 +309,81 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         c = _primary_pass(params, rs_uniform, fcfg, training, rays_live)
         coarse_weights = c["weights"]
         sampling_weights = coarse_weights
-        accumulation_coarse = render_accumulation(c["weights"])
-        depth_coarse = render_depth_median(c["weights"], rs_uniform.starts,
-                                           rs_uniform.ends)
-        mid_rgb_coarse = jnp.clip(
-            render_rgb(c["mid"], c["weights"], white, training=training),
-            0.0, 1.0)
+        if c["out_planes"] is not None:  # eval kernel path: plane layout
+            wS = coarse_weights[..., 0]
+            accumulation_coarse = jnp.sum(wS, axis=-1, keepdims=True)
+            depth_coarse = render_depth_median_planes(
+                wS, rs_uniform.starts[..., 0], rs_uniform.ends[..., 0])
+            mid_rgb_coarse = render_rgb_planes(
+                wS, [c["out_planes"][..., i].astype(jnp.float32)
+                     for i in range(3)], white, training=False)
+        else:
+            accumulation_coarse = render_accumulation(c["weights"])
+            depth_coarse = render_depth_median(c["weights"],
+                                               rs_uniform.starts,
+                                               rs_uniform.ends)
+            mid_rgb_coarse = jnp.clip(
+                render_rgb(c["mid"], c["weights"], white,
+                           training=training),
+                0.0, 1.0)
 
     # ---- pass 2: fine (model.py:182-227) ----
     rs_pdf = pdf_sample(ray_bundle, rs_uniform, sampling_weights, uniform,
                         cfg.num_importance_samples, key=strat(k_pdf))
     f = _primary_pass(params, rs_pdf, fcfg, training, rays_live)
-    accumulation_fine = render_accumulation(f["weights"])
-    depth_fine = render_depth_median(f["weights"], rs_pdf.starts, rs_pdf.ends)
-    mid_rgb_fine = jnp.clip(
-        render_rgb(f["mid"], f["weights"], white, training=training),
-        0.0, 1.0)
-
-    # ray-level composites feeding the reflected pass (model.py:215-227)
-    diff_fine = sg(render_rgb(f["diff"], f["weights"], white,
-                              training=training))
     tint_bg = "random" if cfg.bug_compat.tint_random_background else None
-    tint_fine = sg(render_rgb(f["tint"], f["weights"], tint_bg, key=k_tint,
-                              training=training))
-    pred_normals_fine = sg(render_normals(f["pred_normals"], f["weights"]))
+    if f["out_planes"] is not None:  # eval kernel path: plane layout
+        from rsn.kernels.field_pallas import (V3_DIFF, V3_NORMALS,
+                                              V3_ROUGH, V3_TINT)
+
+        out = f["out_planes"]
+        f32 = jnp.float32
+        wS = f["weights"][..., 0]
+        accumulation_fine = jnp.sum(wS, axis=-1, keepdims=True)
+        depth_fine = render_depth_median_planes(
+            wS, rs_pdf.starts[..., 0], rs_pdf.ends[..., 0])
+        mid_rgb_fine = render_rgb_planes(
+            wS, [out[..., i].astype(f32) for i in range(3)], white,
+            training=False)
+        diff_fine = render_rgb_planes(
+            wS, [out[..., i].astype(f32)
+                 for i in range(V3_DIFF.start, V3_DIFF.stop)],
+            white, training=False)
+        # replicate render_rgb's eval clip on the tint composite too
+        tint_fine = render_rgb_planes(
+            wS, [out[..., i].astype(f32)
+                 for i in range(V3_TINT.start, V3_TINT.stop)],
+            tint_bg, key=k_tint, training=False)
+        # per-sample pred_normals = normalize(-raw) (render.normalize
+        # semantics: x / max(safe_sqrt(sum x^2), eps)), composited
+        nraw = [-out[..., i].astype(f32)
+                for i in range(V3_NORMALS.start, V3_NORMALS.stop)]
+        nnorm = jnp.maximum(
+            safe_sqrt(nraw[0]**2 + nraw[1]**2 + nraw[2]**2), 1e-12)
+        pred_normals_fine = jnp.concatenate(
+            composite_planes(wS, *[p / nnorm for p in nraw]), axis=-1)
+        rough_plane = jax.nn.sigmoid(out[..., V3_ROUGH].astype(f32))
+        (roughness,) = composite_planes(wS, rough_plane)
+    else:
+        accumulation_fine = render_accumulation(f["weights"])
+        depth_fine = render_depth_median(f["weights"], rs_pdf.starts,
+                                         rs_pdf.ends)
+        mid_rgb_fine = jnp.clip(
+            render_rgb(f["mid"], f["weights"], white, training=training),
+            0.0, 1.0)
+        # ray-level composites feeding the reflected pass (model.py:215-227)
+        diff_fine = render_rgb(f["diff"], f["weights"], white,
+                               training=training)
+        tint_fine = render_rgb(f["tint"], f["weights"], tint_bg,
+                               key=k_tint, training=training)
+        pred_normals_fine = render_normals(f["pred_normals"], f["weights"])
+        rough_sig = jax.nn.sigmoid(f["rough_raw"])
+        roughness = render_scalar(rough_sig, f["weights"])  # live grad
+    diff_fine = sg(diff_fine)
+    tint_fine = sg(tint_fine)
+    pred_normals_fine = sg(pred_normals_fine)
     n_dot_d = sg(jnp.sum(pred_normals_fine * ray_bundle.directions,
                          axis=-1, keepdims=True))
-    rough_sig = jax.nn.sigmoid(f["rough_raw"])
-    roughness = render_scalar(rough_sig, f["weights"])  # live grad
 
     mask = jnp.logical_and(
         accumulation_fine > cfg.mask_accumulation_threshold,

@@ -107,3 +107,46 @@ def test_zero_mean_no_nan():
     # gradient safety through the unselected branch
     g = jax.grad(lambda m: jnp.sum(contract(m, cov)[0]))(x)
     assert bool(jnp.isfinite(g).all())
+
+
+def test_packed_contract_planes_matches_blob_path(rng):
+    """The plane-layout kernel-input prep (packed_contract_planes) must
+    match contract_blob(get_gaussian_blob(rs)) + concat/pad in values
+    AND in gradients (the reflected passes differentiate through it via
+    the live pixel_area/cone-radius chain)."""
+    from rsn.core.contract import contract_blob, packed_contract_planes
+    from rsn.core.rays import RayBundle, get_gaussian_blob
+    from rsn.core.spacing import identity_spacing, spaced_sample
+
+    R, S = 16, 8
+    key = jax.random.PRNGKey(3)
+    d = jax.random.normal(key, (R, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jax.random.normal(jax.random.fold_in(key, 1), (R, 3)) * 2.0
+    pa = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2),
+                                   (R, 1))) * 1e-4
+
+    def samples(pa):
+        bundle = RayBundle(origins=o, directions=d, pixel_area=pa,
+                           nears=jnp.full((R, 1), 0.5),
+                           fars=jnp.full((R, 1), 6.0))
+        return spaced_sample(bundle, identity_spacing(), S, key=None)
+
+    def ref(pa):
+        rs = samples(pa)
+        mean, cov = contract_blob(get_gaussian_blob(rs))
+        mc = jnp.concatenate([mean, cov], axis=-1).reshape(R * S, 6)
+        return jnp.pad(mc, ((0, 0), (0, 10))).astype(jnp.float32)
+
+    def planes(pa):
+        return packed_contract_planes(samples(pa), 16)
+
+    np.testing.assert_allclose(np.asarray(planes(pa)), np.asarray(ref(pa)),
+                               rtol=1e-6, atol=1e-7)
+    # gradient parity through the pixel_area chain (cotangent on all
+    # 16 cols; the zero-pad cols contribute nothing)
+    ct = jax.random.normal(jax.random.fold_in(key, 4), (R * S, 16))
+    g_ref = jax.grad(lambda pa: jnp.sum(ref(pa) * ct))(pa)
+    g_pl = jax.grad(lambda pa: jnp.sum(planes(pa) * ct))(pa)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-7)

@@ -1,0 +1,104 @@
+"""Kernel-branch model glue, exercised on CPU via Pallas interpret mode.
+
+The eval render path (use_pallas) composites directly from the fused
+kernel's (R, S) column planes (weights_planes / render_rgb_planes /
+render_depth_median_planes) instead of the (R, S, 3) reference-layout
+functions.  This test locks the WHOLE kernel-branch get_outputs —
+plane prep (packed_contract_planes), the v3 kernel, plane weights and
+composites — against the XLA composition within bf16 kernel tolerance,
+on the CPU suite (pallas_interpret=True; no TPU needed).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rsn.configs import ModelConfig
+from rsn.core.rays import RayBundle
+from rsn.data.synthetic import make_synthetic_dataset
+from rsn.models import field as field_lib
+from rsn.models import model as model_lib
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mcfg = ModelConfig(num_coarse_samples=8, num_importance_samples=8,
+                       num_reflect_coarse_samples=8,
+                       num_reflect_importance_samples=8)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    # crafted normals give a mixed mask (some rays reflect, some don't)
+    params["normals"]["w"] = jnp.zeros_like(params["normals"]["w"])
+    params["normals"]["b"] = jnp.asarray([0.0, 5.0, 0.0])
+    ds = make_synthetic_dataset(num_cameras=1, H=4, W=4)
+    from rsn.data.cameras import generate_image_rays
+
+    o, d, pa = generate_image_rays(ds.cameras, 0)
+    bundle = RayBundle(origins=o, directions=d, pixel_area=pa,
+                       nears=jnp.zeros((o.shape[0], 1)),
+                       fars=jnp.zeros((o.shape[0], 1)))
+    bundle = model_lib.apply_collider(bundle, mcfg)
+    return mcfg, params, bundle
+
+
+def test_eval_kernel_glue_matches_xla_path(setup):
+    mcfg, params, bundle = setup
+    key = jax.random.PRNGKey(1)
+
+    xla_cfg = dataclasses.replace(mcfg, use_pallas=False)
+    kernel_cfg = dataclasses.replace(mcfg, compute_dtype="bfloat16",
+                                     pallas_interpret=True)
+    out_x = model_lib.get_outputs(params, bundle, key, xla_cfg,
+                                  training=False)
+    out_k = model_lib.get_outputs(params, bundle, key, kernel_cfg,
+                                  training=False)
+    assert set(out_k) == set(out_x)
+    # the kernel path runs the trunk in bf16 with poly transcendentals;
+    # ray-level composites agree to bf16 tolerance.  The mask is a
+    # thresholded bool — require exact agreement (the crafted normals
+    # keep rays far from the threshold).
+    np.testing.assert_array_equal(np.asarray(out_k["mask"]),
+                                  np.asarray(out_x["mask"]))
+    for k in ("mid_rgb_coarse", "mid_rgb_fine", "mid_reflect_coarse",
+              "mid_reflect_fine", "accumulation_coarse",
+              "accumulation_fine", "diff", "tint", "roughness",
+              "pred_normals_fine", "n_dot_d_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out_k[k], np.float32),
+            np.asarray(out_x[k], np.float32),
+            atol=0.05, rtol=0.05, err_msg=k)
+    # depth is a bin MIDPOINT selection (median): bf16 density noise can
+    # only move it by whole bins — require most rays to pick the same bin
+    same = np.mean(np.isclose(np.asarray(out_k["depth_fine"]),
+                              np.asarray(out_x["depth_fine"]), rtol=0.05))
+    assert same > 0.8, same
+
+
+def test_eval_kernel_glue_compaction_matches_full(setup):
+    """Plane-path eval compaction (top-K masked rays) must equal the
+    full fraction-1.0 plane path wherever #masked <= K."""
+    mcfg, params, bundle = setup
+    key = jax.random.PRNGKey(1)
+    full_cfg = dataclasses.replace(mcfg, compute_dtype="bfloat16",
+                                   pallas_interpret=True)
+    # mask fraction is 0.5 on this batch; 0.75 cap never overflows
+    cap_cfg = dataclasses.replace(full_cfg, eval_reflect_ray_fraction=0.75)
+    out_f = model_lib.get_outputs(params, bundle, key, full_cfg,
+                                  training=False)
+    out_c = model_lib.get_outputs(params, bundle, key, cap_cfg,
+                                  training=False)
+    assert float(out_c["reflect_overflow"]) == 0.0
+    for k in ("mid_reflect_coarse", "mid_reflect_fine"):
+        np.testing.assert_allclose(np.asarray(out_c[k]),
+                                   np.asarray(out_f[k]),
+                                   atol=1e-6, rtol=1e-6, err_msg=k)
+    # depth_reflect_fine is "valid only where mask" (SURVEY B#10):
+    # unmasked rays carry garbage in the full path and zeros under
+    # compaction — compare the masked rows only
+    m = np.asarray(out_f["mask"])
+    np.testing.assert_allclose(np.asarray(out_c["depth_reflect_fine"])[m],
+                               np.asarray(out_f["depth_reflect_fine"])[m],
+                               atol=1e-6, rtol=1e-6,
+                               err_msg="depth_reflect_fine[mask]")
