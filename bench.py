@@ -96,7 +96,10 @@ def main() -> None:
         from rsn.engine.trainer import (REFLECT_FRACTION_BUCKETS,
                                         REFLECT_HEADROOM)
         if not (cfg_m.adaptive_eval_reflect_fraction
-                and cfg_m.use_reflection):
+                and cfg_m.use_reflection
+                and cfg_m.eval_reflect_ray_fraction >= 1.0):
+            # an explicitly lowered eval fraction is a user-chosen
+            # approximation and wins (same gate as render_image)
             return cfg_m
         probe = jax.jit(lambda p, b, k: model_lib.get_outputs(
             p, b, k, cfg_m, training=False, prop_params=prop)["mask"])

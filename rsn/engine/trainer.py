@@ -407,18 +407,24 @@ def render_image(params, cameras: Cameras, camera_index: int,
         mask_arr = stacked.pop("_mask", None)
         if not adaptive:
             break
-        if frac < 1.0 and overflow is not None and \
-                float(np.max(overflow)) > 0.0:
-            frac = next(b for b in REFLECT_FRACTION_BUCKETS if b > frac)
-            continue
+        # worst mask fraction at the compaction granularity (one top-k
+        # per shard per chunk) — valid even from an overflowed render
+        # (the mask itself is computed before compaction)
+        need = None
         if mask_arr is not None:
-            # worst mask fraction at the compaction granularity (one
-            # top-k per shard per chunk)
             shards = 1 if mesh is None else mesh.devices.size
             per = np.mean(
                 np.asarray(mask_arr).reshape(n_chunks * shards, -1),
                 axis=1)
             need = min(1.0, float(np.max(per)) + REFLECT_HEADROOM)
+        if frac < 1.0 and overflow is not None and \
+                float(np.max(overflow)) > 0.0:
+            # jump straight to the bucket the observed mask demands
+            # (one re-render), not one bucket at a time
+            frac = next(b for b in REFLECT_FRACTION_BUCKETS
+                        if b > frac and (need is None or b >= need))
+            continue
+        if need is not None:
             _EVAL_REFLECT_STATE[state_key] = next(
                 b for b in REFLECT_FRACTION_BUCKETS if b >= need)
         break

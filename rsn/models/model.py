@@ -168,6 +168,20 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
     return f, mean, cov_diag
 
 
+def _weights_from_planes(out_planes, ray_samples):
+    """Compositing weights from the kernel output's density column, on
+    (R, S) sample-minor planes (identical math to get_weights; the
+    single place the eval plane paths decode density — keep in sync
+    with _eval_field's f["density"])."""
+    from rsn.kernels.field_pallas import V3_DENSITY
+
+    dens = jax.nn.softplus(
+        out_planes[..., V3_DENSITY].astype(jnp.float32)
+        + field_lib.DENSITY_BIAS)
+    deltas = (ray_samples.ends - ray_samples.starts)[..., 0]
+    return weights_planes(dens, deltas)
+
+
 def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
                   training: bool, rays_live: bool = True):
     """Shared body of passes 1 & 2: field evals + per-sample heads.
@@ -181,15 +195,7 @@ def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
                                     want_dmc=rays_live)
     out_planes = f.get("_out") if not training else None
     if out_planes is not None:
-        # eval kernel path: weights from (R, S) sample-minor planes
-        # (identical math to get_weights; see render.weights_planes)
-        from rsn.kernels.field_pallas import V3_DENSITY
-
-        dens = jax.nn.softplus(
-            out_planes[..., V3_DENSITY].astype(jnp.float32)
-            + field_lib.DENSITY_BIAS)
-        deltas = (ray_samples.ends - ray_samples.starts)[..., 0]
-        weights = weights_planes(dens, deltas)[..., None]
+        weights = _weights_from_planes(out_planes, ray_samples)[..., None]
     else:
         weights = ray_samples.get_weights(f["density"])
 
@@ -227,12 +233,7 @@ def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
     out = f.get("_out") if not training else None
     if out is not None:
         # eval kernel path: plane-layout weights + composite
-        from rsn.kernels.field_pallas import V3_DENSITY
-
-        dens = jax.nn.softplus(out[..., V3_DENSITY].astype(jnp.float32)
-                               + field_lib.DENSITY_BIAS)
-        deltas = (ray_samples.ends - ray_samples.starts)[..., 0]
-        wS = weights_planes(dens, deltas)
+        wS = _weights_from_planes(out, ray_samples)
         composited = render_rgb_planes(
             wS, [out[..., c].astype(jnp.float32) for c in range(3)],
             background_color=bg_color, training=False)

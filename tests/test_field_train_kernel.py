@@ -542,3 +542,56 @@ def test_custom_vjp_chain_no_dmc_matches_full(setup):
     finally:
         for name, orig in patches.items():
             setattr(ft, name, orig)
+
+
+def test_custom_vjp_chain_no_dmc_with_normals(setup):
+    """The PRODUCTION fine-pass combination — want_normals=True (v4f
+    packing, fused analytic-normals dgrad) + save_acts + want_dmc=False
+    (spill_x + no-IPE backward) — must produce the same outputs as the
+    plain v4 forward and the same parameter gradients as the full
+    want_dmc=True path (the V4_DPDM cotangent columns are ignored by
+    the backward in both)."""
+    import functools
+    params, mc, g = setup
+    w_rand = jax.random.normal(jax.random.PRNGKey(8), (N, fp.V3_OUT))
+    # zero cotangent on the dpdm columns (stop_gradient by construction
+    # in the model; random cotangents there would be meaningless)
+    w_rand = w_rand.at[:, 14:17].set(0.0)
+
+    patches = {
+        "field_forward_v3": ft.field_forward_v3,
+        "field_forward_v6": ft.field_forward_v6,
+        "field_backward_v4": ft.field_backward_v4,
+        "field_backward_v5": ft.field_backward_v5,
+        "field_backward_v6": ft.field_backward_v6,
+    }
+    for name, orig in patches.items():
+        setattr(ft, name, functools.partial(orig, interpret=True))
+    try:
+        def loss(p, m, want_dmc):
+            out = ft.fused_field_train(p, m, g, S, TILE, True, True,
+                                       want_dmc)
+            return jnp.sum(out.astype(jnp.float32) * w_rand)
+
+        # forward value parity vs the plain v4 kernel (through jax.vjp
+        # so the patched interpret-mode _fwd runs, not the primal)
+        out_nodmc, _ = jax.vjp(
+            lambda p: ft.fused_field_train(p, mc, g, S, TILE, True, True,
+                                           False), params)
+        out_v4 = fp.field_forward_v4(fp.pack_params_v4f(params), mc, g,
+                                     S, tile=TILE, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_nodmc, np.float32),
+                                      np.asarray(out_v4, np.float32))
+
+        g_full = jax.grad(lambda p, m: loss(p, m, True))(params, mc)
+        g_nodmc = jax.grad(lambda p, m: loss(p, m, False))(params, mc)
+        flat_f, _ = jax.tree.flatten(g_full)
+        flat_n, _ = jax.tree.flatten(g_nodmc)
+        for a, r in zip(flat_n, flat_f):
+            scale = max(1e-3, float(np.abs(np.asarray(r)).max()))
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(r) / scale,
+                                       rtol=2e-3, atol=2e-3)
+    finally:
+        for name, orig in patches.items():
+            setattr(ft, name, orig)
