@@ -111,6 +111,13 @@ class ModelConfig:
     use_proposal: bool = False
     num_proposal_samples: int = 64
     interlevel_loss_mult: float = 1.0
+    # Extends proposal sampling to the REFLECTED coarse pass (pass 3):
+    # the small proposal field places pass 4's PDF samples on the
+    # reflected rays, dropping pass 3's full-field evaluation (and its
+    # rgb loss) the same way use_proposal drops pass 1's; the proposal
+    # trains on a second interlevel term over the reflected histograms
+    # (reciprocal spacing domain).  Only read when use_proposal.
+    use_proposal_reflect: bool = False
     # mip-NeRF-360 proposal-weight annealing: for the first N steps the
     # fine pass resamples from w_prop**anneal with anneal ramping 0 -> 1
     # (bias curve, slope below), so early training sees near-uniform

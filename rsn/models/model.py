@@ -490,8 +490,6 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
     rs_recip = spaced_sample(reflect_bundle, recip,
                              cfg.num_reflect_coarse_samples,
                              key=strat(k_recip))
-    w_refl_coarse, mid_reflect_coarse_in = _reflect_pass(
-        params, rs_recip, background_color, fcfg, training)
     bg_fill = white * (1.0 - accumulation_fine)  # live acc (model.py:240-241)
     mask_col = mask[:, None] if eff_mask_col is None else eff_mask_col
 
@@ -506,11 +504,35 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
             mask_col, jnp.clip(diff_fine + tint_fine * inner, 0.0, 1.0),
             bg_fill)
 
-    mid_reflect_coarse = scatter_reflect(mid_reflect_coarse_in)
+    use_prop_reflect = use_prop and cfg.use_proposal_reflect
+    w_refl_prop = None
+    if use_prop_reflect:
+        # proposal-for-reflect: the small proposal field places pass 4's
+        # samples (no full-field pass 3, no reflect-coarse rgb — the
+        # same treatment use_proposal gives pass 1); trains on a second
+        # interlevel term (get_loss_dict) over the reciprocal-spacing
+        # histograms
+        from rsn.models import proposal as proposal_lib
+        w_refl_prop = rs_recip.get_weights(
+            proposal_lib.proposal_density(prop_params, rs_recip))
+        w_refl_coarse = sg(w_refl_prop)
+        refl_sampling_weights = w_refl_coarse
+        if prop_anneal is not None:
+            refl_sampling_weights = jnp.where(
+                w_refl_coarse > 0.0,
+                w_refl_coarse ** jnp.asarray(prop_anneal,
+                                             w_refl_coarse.dtype),
+                0.0)
+        mid_reflect_coarse = jnp.broadcast_to(bg_fill, (R, 3))
+    else:
+        w_refl_coarse, mid_reflect_coarse_in = _reflect_pass(
+            params, rs_recip, background_color, fcfg, training)
+        refl_sampling_weights = w_refl_coarse
+        mid_reflect_coarse = scatter_reflect(mid_reflect_coarse_in)
 
     # ---- pass 4: reflected fine (model.py:317-341) ----
-    rs_refl_pdf = pdf_sample(reflect_bundle, rs_recip, w_refl_coarse, recip,
-                             cfg.num_reflect_importance_samples,
+    rs_refl_pdf = pdf_sample(reflect_bundle, rs_recip, refl_sampling_weights,
+                             recip, cfg.num_reflect_importance_samples,
                              key=strat(k_refl_pdf))
     w_refl_fine, mid_reflect_fine_in = _reflect_pass(
         params, rs_refl_pdf, background_color, fcfg, training)
@@ -530,6 +552,19 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         "depth_reflect_fine": depth_reflect_fine,
         "reflect_overflow": reflect_overflow,
     })
+    if use_prop_reflect:
+        # second interlevel term's inputs (reciprocal spacing domain):
+        # LIVE proposal weights on the reflected K-subset + both
+        # histograms' spacing edges; w_refl_fine is already detached
+        # (interlevel stop-gradients its fine side anyway)
+        outputs["reflect_prop_weights"] = w_refl_prop
+        outputs["reflect_prop_spacing_bins"] = jnp.concatenate(
+            [rs_recip.spacing_starts[..., 0],
+             rs_recip.spacing_ends[..., -1:, 0]], axis=-1)
+        outputs["reflect_fine_spacing_bins"] = jnp.concatenate(
+            [rs_refl_pdf.spacing_starts[..., 0],
+             rs_refl_pdf.spacing_ends[..., -1:, 0]], axis=-1)
+        outputs["reflect_weights_fine"] = w_refl_fine
     return outputs
 
 
@@ -585,10 +620,14 @@ def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
             * jax.nn.relu(outputs["n_dot_d_fine"]) ** 2),
     }
     if "mid_reflect_fine" in outputs:  # absent in primary-only mode
-        losses["loss_reflect_mid_coarse"] = mse(
-            gt_rgb, outputs["mid_reflect_coarse"])
         losses["loss_reflect_mid_fine"] = mse(
             gt_rgb, outputs["mid_reflect_fine"])
+        if "reflect_prop_weights" not in outputs:
+            # proposal-for-reflect drops the reflect-coarse rgb (pass 3
+            # has no color heads there), like use_proposal drops
+            # loss_mid_coarse
+            losses["loss_reflect_mid_coarse"] = mse(
+                gt_rgb, outputs["mid_reflect_coarse"])
     if "prop_weights" in outputs:
         # proposal mode: the coarse pass has no rgb/normal heads; the
         # proposal field trains on the interlevel loss instead
@@ -597,6 +636,14 @@ def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
         losses["interlevel_loss"] = proposal_lib.interlevel_loss(
             outputs["weights_fine"], outputs["fine_spacing_bins"],
             outputs["prop_weights"], outputs["prop_spacing_bins"])
+        if "reflect_prop_weights" in outputs:
+            # second term: the reflected histograms (reciprocal spacing)
+            losses["interlevel_loss"] = (
+                losses["interlevel_loss"] + proposal_lib.interlevel_loss(
+                    outputs["reflect_weights_fine"],
+                    outputs["reflect_fine_spacing_bins"],
+                    outputs["reflect_prop_weights"],
+                    outputs["reflect_prop_spacing_bins"]))
         if "distortion" in outputs:
             # per-ray values computed on LIVE weights in get_outputs
             losses["distortion_loss"] = jnp.mean(outputs["distortion"])

@@ -285,3 +285,103 @@ def test_distortion_loss_trains_the_main_field():
     g = jax.grad(distortion_only)(params)
     gmax = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g))
     assert np.isfinite(gmax) and gmax > 0, gmax
+
+
+def _prop_reflect_config():
+    cfg = _prop_config()
+    model = dataclasses.replace(cfg.pipeline.model,
+                                use_proposal_reflect=True)
+    return dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, model=model))
+
+
+def test_proposal_reflect_drops_pass3_and_trains_proposal():
+    """use_proposal_reflect: pass 3 runs the proposal field — no
+    reflect-coarse rgb loss, a second interlevel term (reciprocal
+    spacing) carries gradient to the proposal params."""
+    from rsn.data.synthetic import make_synthetic_dataset
+    from rsn.engine.trainer import (loss_coefficients_traced,
+                                    sample_pixel_batch)
+    from rsn.models import field as field_lib
+    from rsn.models import model as M
+
+    config = _prop_reflect_config()
+    mcfg = config.pipeline.model
+    ds = make_synthetic_dataset(num_cameras=2, H=16, W=16)
+    images = jnp.asarray(ds.images)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    prop = proposal.init_proposal_params(jax.random.PRNGKey(2))
+    key = jax.random.PRNGKey(1)
+    bundle, gt = sample_pixel_batch(images, ds.cameras, 32, key)
+    bundle = M.apply_collider(bundle, mcfg)
+    coeffs = dict(loss_coefficients_traced(jnp.int32(1000)),
+                  interlevel_loss=jnp.float32(1.0))
+
+    out = M.get_outputs(params, bundle, key, mcfg, training=True,
+                        prop_params=prop)
+    assert "reflect_prop_weights" in out
+    ld = M.get_loss_dict(out, gt, coeffs)
+    assert "loss_reflect_mid_coarse" not in ld
+    assert "loss_reflect_mid_fine" in ld
+    assert np.isfinite(float(sum(jax.tree.leaves(ld))))
+
+    # the reflected interlevel term is LIVE: zeroing it changes the
+    # proposal-parameter gradient
+    def il(pp, with_reflect):
+        o = M.get_outputs(params, bundle, key, mcfg, training=True,
+                          prop_params=pp)
+        if not with_reflect:
+            o = {k: v for k, v in o.items()
+                 if k != "reflect_prop_weights"}
+        return M.get_loss_dict(o, gt, coeffs)["interlevel_loss"]
+
+    g_with = jax.grad(lambda pp: il(pp, True))(prop)
+    g_without = jax.grad(lambda pp: il(pp, False))(prop)
+    diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree.leaves(g_with), jax.tree.leaves(g_without)))
+    assert np.isfinite(diff) and diff > 0.0, diff
+
+
+def test_proposal_reflect_train_step_and_eval():
+    """Full jitted train step in proposal-reflect mode + eval render."""
+    from rsn.data.synthetic import make_synthetic_dataset
+    from rsn.engine.optimizers import build_optimizer
+    from rsn.engine.trainer import TrainState, make_train_step
+    from rsn.models import field as field_lib
+    from rsn.models import model as M
+
+    config = _prop_reflect_config()
+    mcfg = config.pipeline.model
+    ds = make_synthetic_dataset(num_cameras=2, H=16, W=16)
+    images = jnp.asarray(ds.images)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+    prop = proposal.init_proposal_params(jax.random.PRNGKey(2))
+    train_step, optimizer = make_train_step(config)
+    state = TrainState(
+        params=params, opt_state=optimizer.init(params),
+        step=jnp.int32(0), proposal=prop,
+        proposal_opt_state=build_optimizer(
+            config.optimizers["proposal_networks"]).init(prop))
+    fn = jax.jit(lambda s, k: train_step(s, images, ds.cameras, k))
+    new_state, metrics = fn(state, jax.random.PRNGKey(1))
+    metrics = jax.device_get(metrics)
+    assert np.isfinite(metrics["total_loss"])
+    assert "loss_reflect_mid_coarse" not in metrics
+    before = np.concatenate([np.ravel(x) for x in jax.tree.leaves(prop)])
+    after = np.concatenate([np.ravel(np.asarray(x)) for x in
+                            jax.tree.leaves(new_state.proposal)])
+    assert np.any(before != after)
+
+    # eval render path (adaptive exact compaction off this tiny batch)
+    from rsn.core.rays import RayBundle
+    key = jax.random.PRNGKey(3)
+    d = jax.random.normal(key, (16, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rb = M.apply_collider(RayBundle(
+        origins=jnp.zeros((16, 3)).at[:, 2].set(4.0), directions=d,
+        pixel_area=jnp.full((16, 1), 1e-6), nears=jnp.zeros((16, 1)),
+        fars=jnp.ones((16, 1))), mcfg)
+    out = M.get_outputs(new_state.params, rb, key, mcfg, training=False,
+                        prop_params=new_state.proposal)
+    img = M.final_rgb(out)
+    assert img.shape == (16, 3) and bool(jnp.all(jnp.isfinite(img)))
