@@ -513,8 +513,16 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         # interlevel term (get_loss_dict) over the reciprocal-spacing
         # histograms
         from rsn.models import proposal as proposal_lib
-        w_refl_prop = rs_recip.get_weights(
-            proposal_lib.proposal_density(prop_params, rs_recip))
+        # Evaluate the proposal on DETACHED geometry: rs_recip's
+        # pixel_area is live through roughness (sqradius above), and the
+        # interlevel loss keeps w_refl_prop live — without the detach it
+        # would leak gradient into the MAIN field's roughness head,
+        # violating the invariant that interlevel trains only the
+        # proposal field (proposal.py:115; ADVICE r2).  Proposal-param
+        # gradients still flow.
+        rs_recip_sg = jax.tree.map(jax.lax.stop_gradient, rs_recip)
+        w_refl_prop = rs_recip_sg.get_weights(
+            proposal_lib.proposal_density(prop_params, rs_recip_sg))
         w_refl_coarse = sg(w_refl_prop)
         refl_sampling_weights = w_refl_coarse
         if prop_anneal is not None:
@@ -523,7 +531,10 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
                 w_refl_coarse ** jnp.asarray(prop_anneal,
                                              w_refl_coarse.dtype),
                 0.0)
-        mid_reflect_coarse = jnp.broadcast_to(bg_fill, (R, 3))
+        # no reflect-coarse rgb exists in this mode (pass 3 runs no
+        # color heads) — omit the key rather than emit background fill
+        # that eval panels would show as a "render" (ADVICE r2)
+        mid_reflect_coarse = None
     else:
         w_refl_coarse, mid_reflect_coarse_in = _reflect_pass(
             params, rs_recip, background_color, fcfg, training)
@@ -545,8 +556,9 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         depth_reflect_fine = jnp.zeros((R, 1), depth_sub.dtype).at[sel].set(
             depth_sub)
 
+    if mid_reflect_coarse is not None:
+        outputs["mid_reflect_coarse"] = mid_reflect_coarse
     outputs.update({
-        "mid_reflect_coarse": mid_reflect_coarse,
         "mid_reflect_fine": mid_reflect_fine,
         # always emitted at fixed shape; valid only where mask (SURVEY B#10)
         "depth_reflect_fine": depth_reflect_fine,
@@ -622,8 +634,8 @@ def get_loss_dict(outputs: Dict[str, jax.Array], gt_image: jax.Array,
     if "mid_reflect_fine" in outputs:  # absent in primary-only mode
         losses["loss_reflect_mid_fine"] = mse(
             gt_rgb, outputs["mid_reflect_fine"])
-        if "reflect_prop_weights" not in outputs:
-            # proposal-for-reflect drops the reflect-coarse rgb (pass 3
+        if "mid_reflect_coarse" in outputs:
+            # proposal-for-reflect omits the reflect-coarse rgb (pass 3
             # has no color heads there), like use_proposal drops
             # loss_mid_coarse
             losses["loss_reflect_mid_coarse"] = mse(

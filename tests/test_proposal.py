@@ -341,6 +341,20 @@ def test_proposal_reflect_drops_pass3_and_trains_proposal():
         jax.tree.leaves(g_with), jax.tree.leaves(g_without)))
     assert np.isfinite(diff) and diff > 0.0, diff
 
+    # invariant (proposal.py:115): the interlevel loss trains ONLY the
+    # proposal field.  Its gradient w.r.t. the MAIN field params must be
+    # identically zero — rs_recip's pixel_area is live through the
+    # roughness head, so without the detach in the proposal-reflect
+    # branch (model.py) gradient would leak here (ADVICE r2).
+    def il_main(p):
+        o = M.get_outputs(p, bundle, key, mcfg, training=True,
+                          prop_params=prop)
+        return M.get_loss_dict(o, gt, coeffs)["interlevel_loss"]
+
+    g_main = jax.grad(il_main)(params)
+    leak = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g_main))
+    assert leak == 0.0, leak
+
 
 def test_proposal_reflect_train_step_and_eval():
     """Full jitted train step in proposal-reflect mode + eval render."""
