@@ -34,7 +34,10 @@ def evaluate(params, dataset, config, mesh=None,
     n = dataset.cameras.num_cameras if max_images is None else min(
         max_images, dataset.cameras.num_cameras)
     # in proposal mode there is no coarse rgb head — mid_rgb_coarse is
-    # pure background fill and a "coarse_psnr" would be meaningless
+    # pure background fill and a "coarse_psnr" would be meaningless.
+    # The key is still emitted (as null) so eval.json is key-compatible
+    # with the reference metric dict across methods
+    # (reflect_sampling_nerf_model.py:474-480).
     report_coarse = not config.pipeline.model.use_proposal
     for i in range(n):
         out = render_image(params, dataset.cameras, i, config, mesh=mesh,
@@ -52,13 +55,17 @@ def evaluate(params, dataset, config, mesh=None,
             coarse = np.clip(out["mid_rgb_coarse"], 0, 1)
             m["coarse_psnr"] = float(metrics_lib.psnr(jnp.asarray(coarse),
                                                       jnp.asarray(gt)))
+        else:
+            m["coarse_psnr"] = None  # no coarse rgb in proposal mode
         lp = metrics_lib.lpips(fine, gt)
         if lp is not None:
             m["fine_lpips"] = lp
         m["psnr"] = m["fine_psnr"]
         per_image.append(m)
     keys = per_image[0].keys()
-    return {k: float(np.mean([m[k] for m in per_image])) for k in keys}
+    return {k: (float(np.mean([m[k] for m in per_image]))
+                if per_image[0][k] is not None else None)
+            for k in keys}
 
 
 def main(argv=None) -> int:

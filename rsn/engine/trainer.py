@@ -106,7 +106,8 @@ def make_train_step(config: TrainerConfig):
                       if mcfg.use_proposal else None)
 
     def train_step(state: TrainState, images, cameras, key,
-                   axis_name: Optional[str] = None):
+                   axis_name: Optional[str] = None,
+                   return_grads: bool = False):
         k_pix, k_render = jax.random.split(jax.random.fold_in(
             key, state.step))
         bundle, gt = sample_pixel_batch(images, cameras, num_rays, k_pix)
@@ -221,6 +222,11 @@ def make_train_step(config: TrainerConfig):
                                proposal=proposal,
                                proposal_opt_state=proposal_opt_state)
         metrics = dict(loss_dict, total_loss=total, **aux)
+        if return_grads:
+            # debug/verification hook (dryrun_multichip's 1-vs-N
+            # equivalence check): expose this step's field gradients so
+            # a single-device caller can reproduce pmean semantics
+            metrics["_grads"] = grads
         return new_state, metrics
 
     return train_step, optimizer

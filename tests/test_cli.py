@@ -69,6 +69,47 @@ def test_run_io_config_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_metric_keys_match_across_methods():
+    """eval.json is key-compatible with the reference metric dict
+    (reflect_sampling_nerf_model.py:474-480) for BOTH methods: the
+    proposal preset emits coarse_psnr as null (no coarse rgb exists in
+    proposal mode) rather than dropping the key."""
+    import dataclasses
+
+    import jax
+
+    from rsn.cli.eval import evaluate
+    from rsn.cli.registry import get_method
+    from rsn.data.synthetic import make_synthetic_dataset
+    from rsn.models import field as field_lib
+    from rsn.models import proposal as proposal_lib
+
+    ds = make_synthetic_dataset(num_cameras=1, H=16, W=16)
+    params = field_lib.init_field_params(jax.random.PRNGKey(0))
+
+    def tiny(cfg):
+        m = dataclasses.replace(
+            cfg.pipeline.model, num_coarse_samples=8,
+            num_importance_samples=8, num_reflect_coarse_samples=4,
+            num_reflect_importance_samples=4, num_proposal_samples=4,
+            eval_num_rays_per_chunk=64)
+        return dataclasses.replace(cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, model=m))
+
+    base = tiny(get_method("reflect-sampling-nerf").config_factory())
+    prop_cfg = tiny(
+        get_method("reflect-sampling-nerf-proposal").config_factory())
+    prop = proposal_lib.init_proposal_params(jax.random.PRNGKey(1))
+
+    r_base = evaluate(params, ds, base, max_images=1)
+    r_prop = evaluate(params, ds, prop_cfg, max_images=1,
+                      prop_params=prop)
+    assert set(r_base) == set(r_prop)
+    assert r_prop["coarse_psnr"] is None
+    assert np.isfinite(r_base["coarse_psnr"])
+
+
+@pytest.mark.slow
 def test_train_eval_render_end_to_end(tmp_path):
     from rsn.cli import eval as eval_cli
     from rsn.cli import render as render_cli
