@@ -155,3 +155,50 @@ def test_metrics_entry_uses_weights_file(setup, tmp_path, monkeypatch):
     assert got is not None
     want = torch_lpips_oracle(params, img0, img1)
     assert got == pytest.approx(want, rel=1e-4)
+
+
+@pytest.mark.slow
+def test_eval_cli_emits_fine_lpips(tmp_path, monkeypatch):
+    """rsn-eval -> eval.json["fine_lpips"] end to end through the real
+    weights-loading path, using the deterministic random-weights
+    fixture (tools/lpips_weights.py) — proves the plumbing the
+    reference exercises at reflect_sampling_nerf_model.py:132,479
+    works the moment a real lpips_vgg.pth is dropped in."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import lpips_weights
+
+    from rsn import metrics as metrics_lib
+    from rsn.cli import eval as eval_cli
+    from rsn.cli import train as train_cli
+
+    path = lpips_weights.write_fixture(str(tmp_path / "lpips_vgg.pth"))
+    monkeypatch.setenv("RSN_LPIPS_WEIGHTS", path)
+    monkeypatch.setitem(metrics_lib._LPIPS_CACHE, "checked", False)
+    monkeypatch.setitem(metrics_lib._LPIPS_CACHE, "fn", None)
+
+    rc = train_cli.main([
+        "reflect-sampling-nerf",
+        "--pipeline.datamanager.dataparser", "synthetic",
+        "--pipeline.datamanager.train-num-rays-per-batch", "64",
+        "--pipeline.model.num-coarse-samples", "8",
+        "--pipeline.model.num-importance-samples", "8",
+        "--pipeline.model.num-reflect-coarse-samples", "4",
+        "--pipeline.model.num-reflect-importance-samples", "4",
+        "--pipeline.model.eval-num-rays-per-chunk", "256",
+        "--max-num-iterations", "2", "--steps-per-save", "2",
+        "--output-dir", str(tmp_path)])
+    assert rc == 0
+    run_dir = None
+    for root, dirs, files in os.walk(tmp_path):
+        if "config.json" in files:
+            run_dir = root
+    assert run_dir is not None
+    rc = eval_cli.main(["--load-dir", run_dir, "--max-images", "1"])
+    assert rc == 0
+    results = json.load(open(os.path.join(run_dir, "eval.json")))
+    assert "fine_lpips" in results and np.isfinite(results["fine_lpips"])
