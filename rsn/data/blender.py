@@ -343,5 +343,8 @@ def load_dataset(parser: str, data_dir: str, split: str,
                                 scale_factor=scale_factor)
     if parser == "synthetic":
         from rsn.data.synthetic import make_synthetic_dataset
-        return make_synthetic_dataset(split=split)
+        # data selects the procedural scene ("sphere" | "triple" |
+        # "specular"); empty = the default diffuse sphere
+        return make_synthetic_dataset(split=split,
+                                      scene=(data_dir or "sphere"))
     raise ValueError(f"unknown dataparser: {parser}")

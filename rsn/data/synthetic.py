@@ -39,6 +39,39 @@ TRIPLE_SPHERES = (  # (center, radius, color)
      np.array([0.3, 0.8, 0.3], np.float32)),
 )
 
+# scene="specular": a MIRROR sphere at the origin reflecting three
+# bright diffuse satellites.  This is the validation scene for the
+# method's namesake machinery (the reflected passes 3/4,
+# reflect_sampling_nerf_model.py:267-339): the mirror's appearance is
+# dominated by one-bounce reflected radiance of distinguishable
+# geometry, which a primary-only model (the "mipnerf" method) can only
+# explain as view-dependent texture while the full model can resample
+# the actual reflected rays.  The analytic render composes each mirror
+# pixel exactly the way the model does (model.py:504:
+# diff + tint * reflected_env), so the scene is realizable by the
+# field's own appearance decomposition.
+MIRROR_RADIUS = 0.9
+MIRROR_TINT = np.array([0.85, 0.85, 0.9], np.float32)
+MIRROR_DIFF = np.array([0.04, 0.04, 0.05], np.float32)
+SPEC_SATELLITES = (  # (center, radius, color) — all diffuse
+    (np.array([1.45, 0.0, 0.25], np.float32), 0.42,
+     np.array([0.9, 0.15, 0.1], np.float32)),
+    (np.array([-0.85, 1.25, -0.2], np.float32), 0.38,
+     np.array([0.1, 0.4, 0.9], np.float32)),
+    (np.array([-0.45, -1.35, 0.5], np.float32), 0.34,
+     np.array([0.95, 0.8, 0.1], np.float32)),
+)
+# Checkerboard ground disk under the mirror: a convex mirror demagnifies
+# hard, so the satellites alone cover only ~5% of the mirror's pixels —
+# the disk fills the mirror's lower hemisphere with NEAR-FIELD,
+# position-dependent (parallax) reflected content that a
+# direction-only environment model cannot represent.
+DISK_Z = -1.0
+DISK_RADIUS = 1.9
+DISK_CHECKER = 0.45
+DISK_COLORS = (np.array([0.85, 0.12, 0.12], np.float32),
+               np.array([0.12, 0.12, 0.85], np.float32))
+
 
 def _look_at_pose(eye: np.ndarray) -> np.ndarray:
     """OpenGL-style camera-to-world looking at the origin (z = backward)."""
@@ -112,12 +145,102 @@ def _render_triple(pose: np.ndarray, H: int, W: int,
     return img.astype(np.float32)
 
 
+def _sphere_hit(o, d, center, radius):
+    """Nearest positive ray-sphere intersection t, +inf where none.
+
+    o broadcasts against d (a (3,) camera origin for primary rays or a
+    per-pixel (..., 3) surface point for reflected rays)."""
+    oc = o - center
+    b = 2.0 * np.sum(d * oc, axis=-1)
+    c = np.sum(oc * oc, axis=-1) - radius**2
+    disc = b**2 - 4.0 * c
+    t = np.where(disc > 0,
+                 (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0, np.inf)
+    return np.where(t > 1e-4, t, np.inf)
+
+
+def _lambert(p, center, radius, color):
+    n = (p - center) / max(radius, 1e-9)
+    lam = np.clip(np.sum(n * LIGHT_DIR, axis=-1), 0.0, 1.0)
+    return (0.25 + 0.75 * lam)[..., None] * color
+
+
+def _trace_satellites(o, d):
+    """Nearest diffuse radiance (satellites + checker disk) along
+    (o, d); white bg where nothing is hit."""
+    best_t = np.full(d.shape[:-1], np.inf, np.float32)
+    rgb = np.ones(d.shape[:-1] + (3,), np.float32)
+    for center, radius, color in SPEC_SATELLITES:
+        t = _sphere_hit(o, d, center, radius)
+        closer = t < best_t
+        p = o + d * np.where(np.isfinite(t), t, 0.0)[..., None]
+        rgb = np.where(closer[..., None], _lambert(p, center, radius, color),
+                       rgb)
+        best_t = np.where(closer, t, best_t)
+    # checker disk at z = DISK_Z (normal +z; LIGHT_DIR gives a constant
+    # Lambert factor per tile)
+    oz = np.broadcast_to(np.asarray(o)[..., 2], d.shape[:-1])
+    dz = d[..., 2]
+    t_disk = np.where(np.abs(dz) > 1e-6, (DISK_Z - oz) / dz, np.inf)
+    t_disk = np.where(t_disk > 1e-4, t_disk, np.inf)
+    p = np.asarray(o) + d * np.where(np.isfinite(t_disk), t_disk,
+                                     0.0)[..., None]
+    in_disk = (p[..., 0] ** 2 + p[..., 1] ** 2) < DISK_RADIUS**2
+    t_disk = np.where(in_disk, t_disk, np.inf)
+    closer = t_disk < best_t
+    parity = ((np.floor(p[..., 0] / DISK_CHECKER)
+               + np.floor(p[..., 1] / DISK_CHECKER)) % 2).astype(int)
+    lam = 0.25 + 0.75 * max(float(LIGHT_DIR[2]), 0.0)
+    tile_rgb = lam * np.where(parity[..., None] == 0, DISK_COLORS[0],
+                              DISK_COLORS[1])
+    rgb = np.where(closer[..., None], tile_rgb, rgb)
+    best_t = np.where(closer, t_disk, best_t)
+    return rgb, best_t
+
+
+def _render_specular(pose: np.ndarray, H: int, W: int,
+                     focal: float) -> np.ndarray:
+    """One-bounce ray trace of the mirror-sphere scene.
+
+    Mirror pixels composite exactly like the model's reflected pass
+    (model.py:504): diff_lambert + tint * radiance(reflected ray).
+    The reflected ray leaves a convex sphere outward, so it can never
+    re-hit the mirror — a single satellite trace is exact."""
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    d_cam = np.stack([(xs - W / 2.0) / focal, -(ys - H / 2.0) / focal,
+                      -np.ones_like(xs)], axis=-1)
+    d = d_cam @ pose[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+
+    sat_rgb, sat_t = _trace_satellites(o, d)
+    mir_t = _sphere_hit(o, d, np.zeros(3, np.float32), MIRROR_RADIUS)
+
+    # mirror shading where the mirror is the nearest hit
+    tm = np.where(np.isfinite(mir_t), mir_t, 0.0)[..., None]
+    p = o + d * tm
+    n = p / MIRROR_RADIUS
+    refl = d - 2.0 * np.sum(d * n, axis=-1, keepdims=True) * n
+    env_rgb, _ = _trace_satellites(p, refl)
+    mir_rgb = np.clip(
+        _lambert(p, np.zeros(3, np.float32), MIRROR_RADIUS, MIRROR_DIFF)
+        + MIRROR_TINT * env_rgb, 0.0, 1.0)
+
+    img = np.ones(d.shape[:-1] + (3,), np.float32)  # white background
+    img = np.where((sat_t < mir_t)[..., None], sat_rgb, img)
+    img = np.where((mir_t <= sat_t)[..., None] & np.isfinite(mir_t)[..., None],
+                   mir_rgb, img)
+    return img.astype(np.float32)
+
+
 def make_synthetic_dataset(num_cameras: int = 12, H: int = 64, W: int = 64,
                            split: str = "train",
                            scene: str = "sphere") -> Dataset:
     import jax.numpy as jnp
 
-    render = {"sphere": _render_sphere, "triple": _render_triple}[scene]
+    render = {"sphere": _render_sphere, "triple": _render_triple,
+              "specular": _render_specular}[scene]
 
     camera_angle_x = 0.6911112070083618  # lego's fov, ~39.6 deg
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)

@@ -73,6 +73,60 @@ def test_synthetic_scene_sphere_visible():
     assert center.mean() < 0.9  # sphere is darker than background
 
 
+def test_synthetic_specular_scene():
+    """The mirror-sphere validation scene (the reflection subsystem's
+    quality benchmark): view-dependent mirror appearance with
+    near-field reflected content, composed the way the model's
+    reflected pass composes (synthetic._render_specular)."""
+    from rsn.data import synthetic as S
+
+    spec = make_synthetic_dataset(num_cameras=8, H=48, W=48,
+                                  scene="specular")
+    diff = make_synthetic_dataset(num_cameras=8, H=48, W=48,
+                                  scene="sphere")
+    assert spec.images.shape == (8, 48, 48, 3)
+    assert spec.images.min() >= 0.0 and spec.images.max() <= 1.0
+    # the mirror's center patch must be far MORE view-dependent than a
+    # Lambertian sphere's (the whole point of the scene)
+    c = slice(48 // 2 - 6, 48 // 2 + 6)
+    var_spec = np.var(spec.images[:, c, c], axis=0).mean()
+    var_diff = np.var(np.asarray(diff.images)[:, c, c], axis=0).mean()
+    assert var_spec > 2.0 * var_diff, (var_spec, var_diff)
+
+    # near-field reflections: a meaningful share of mirror pixels must
+    # reflect actual geometry (checker disk / satellites), not just the
+    # white background — otherwise a direction-only env model suffices
+    # and the scene can't differentiate the reflected passes
+    pose = S._look_at_pose(np.array([4.0, 0.0, 1.0], np.float32)
+                           * 4.0 / np.linalg.norm([4.0, 0.0, 1.0]))
+    H = W = 48
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    d = np.stack([(xs - W / 2) / focal, -(ys - H / 2) / focal,
+                  -np.ones_like(xs)], -1) @ pose[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+    _, sat_t = S._trace_satellites(o, d)
+    mir_t = S._sphere_hit(o, d, np.zeros(3, np.float32), S.MIRROR_RADIUS)
+    mir_vis = np.isfinite(mir_t) & (mir_t <= sat_t)
+    p = o + d * np.where(np.isfinite(mir_t), mir_t, 0.0)[..., None]
+    n = p / S.MIRROR_RADIUS
+    refl = d - 2 * np.sum(d * n, -1, keepdims=True) * n
+    _, env_t = S._trace_satellites(p, refl)
+    frac = (mir_vis & np.isfinite(env_t)).sum() / max(mir_vis.sum(), 1)
+    assert frac > 0.15, frac
+
+
+def test_synthetic_scene_selection_via_data_field():
+    """dataparser='synthetic' routes the --data string to the scene."""
+    from rsn.data.blender import load_dataset
+
+    spec = load_dataset("synthetic", "specular", "train")
+    sphere = load_dataset("synthetic", "", "train")
+    assert not np.allclose(spec.images, sphere.images)
+
+
 def test_nerfstudio_format_loader(tmp_path):
     """Real-capture loader: per-frame intrinsics, train/eval split."""
     import json
