@@ -46,8 +46,12 @@ def _proposal_config() -> TrainerConfig:
 
     base = TrainerConfig(method_name="reflect-sampling-nerf-proposal")
     # distortion 0.002 closes the preset's quality gap to the parity
-    # default (30k full-split 23.59 vs 23.6 PSNR, BASELINE.md r2 ladder)
+    # default (30k full-split 23.59 vs 23.6 PSNR, BASELINE.md r2 ladder);
+    # proposal-for-reflect adopted r3 after the A/B at 30k scored
+    # +1.1 dB PSNR over the ctrl arm at ~11% higher end-to-end
+    # throughput (results/ab30k-{ctrl,propreflect}, BASELINE.md ladder)
     model = dataclasses.replace(base.pipeline.model, use_proposal=True,
+                                use_proposal_reflect=True,
                                 distortion_loss_mult=0.002)
     return dataclasses.replace(
         base, pipeline=dataclasses.replace(base.pipeline, model=model))
