@@ -1,0 +1,71 @@
+"""The committed quality-evidence tree (results/) backs BASELINE.md's
+claims (VERDICT r2 weak #3: outputs/ is transient, so every claim's
+small evidence is snapshotted via tools/snapshot_result.py and the
+claims themselves are locked here)."""
+import json
+import os
+
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), os.pardir, "results")
+
+
+def _load(name, fname="eval.json"):
+    path = os.path.join(ROOT, name, fname)
+    if not os.path.exists(path):
+        pytest.fail(f"missing committed evidence: results/{name}/{fname}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_snapshots_are_complete():
+    """Every snapshot has config + eval + train-log tail."""
+    names = [n for n in os.listdir(ROOT)
+             if os.path.isdir(os.path.join(ROOT, n))]
+    assert names, "results/ tree is empty"
+    for n in names:
+        for fname in ("config.json", "eval.json", "train_log_tail.jsonl"):
+            assert os.path.exists(os.path.join(ROOT, n, fname)), (n, fname)
+
+
+def test_eval_metric_keys_are_reference_complete():
+    """Committed evals carry the reference metric-key set
+    (reflect_sampling_nerf_model.py:474-480; lpips only when weights
+    exist, coarse_psnr null-with-note in proposal mode)."""
+    for n in os.listdir(ROOT):
+        ev = _load(n)
+        for k in ("psnr", "fine_psnr", "fine_ssim", "coarse_psnr"):
+            assert k in ev, (n, k)
+
+
+def test_propreflect_ab_backs_the_preset_flip():
+    """BASELINE.md r3 row: proposal-for-reflect was adopted because the
+    30k A/B scored HIGHER PSNR than the control arm (+1.1 dB)."""
+    ctrl = _load("ab30k-ctrl")
+    pr = _load("ab30k-propreflect")
+    assert pr["fine_psnr"] > ctrl["fine_psnr"] + 0.5
+    # and the arms really differ only in the flag under test
+    c_cfg = _load("ab30k-ctrl", "config.json")
+    p_cfg = _load("ab30k-propreflect", "config.json")
+    assert c_cfg["pipeline"]["model"]["use_proposal_reflect"] is False
+    assert p_cfg["pipeline"]["model"]["use_proposal_reflect"] is True
+    c_cfg["pipeline"]["model"]["use_proposal_reflect"] = True
+    c_cfg["experiment_name"] = p_cfg["experiment_name"]
+    assert c_cfg == p_cfg
+
+
+def test_specular_ab_backs_the_reflection_subsystem():
+    """BASELINE.md r3 specular rows: on the mirror-sphere scene the
+    reflection-aware models must beat the primary-only 'mipnerf'
+    family by a clear margin (the method's namesake machinery earns
+    its cost), and the recommended preset must hold quality parity
+    with the reference-default scheme where reflections matter."""
+    if not os.path.exists(os.path.join(ROOT, "spec30k-mipnerf")):
+        pytest.skip("specular A/B snapshots not yet committed")
+    mip = _load("spec30k-mipnerf")
+    par = _load("spec30k-parity")
+    pre = _load("spec30k-preset")
+    assert par["fine_psnr"] > mip["fine_psnr"] + 0.5, (par, mip)
+    assert pre["fine_psnr"] > mip["fine_psnr"] + 0.5, (pre, mip)
+    # preset-vs-parity: parity within 1 dB on the specular scene
+    assert abs(pre["fine_psnr"] - par["fine_psnr"]) < 1.0, (pre, par)
