@@ -16,25 +16,39 @@ harmonic mean of train and render throughput (a user alternates both).
 TWO configurations are measured, and both are in the JSON:
 - headline "value" = the reflect-sampling-nerf-proposal preset, the
   framework's RECOMMENDED training configuration: proposal-network
-  sampling + weight anneal + distortion regularizer at QUALITY PARITY
-  with the reference scheme — 30k-step full-split PSNR 23.59 vs 23.6,
-  both runs on disk (BASELINE.md r2 quality ladder) — on the identical
-  model, losses, and per-ray sample budget for passes 2-4.
+  sampling (primary + reflected) + weight anneal + distortion
+  regularizer, adopted on quality A/Bs committed under results/
+  (BASELINE.md quality ladder: 30k full-split 23.59-vs-23.6 PSNR for
+  the proposal scheme, +1.1 dB for proposal-for-reflect) — on the
+  identical model, losses, and per-ray sample budget for pass 2 and
+  the reflected fine pass.
 - "parity_*" = the reference-default coarse/fine scheme, numerically
   locked to the reference end to end (tests/test_full_model_oracle.py).
+
+Reflected-pass cost model (both configs): the reference's passes 3/4
+run on a boolean GATHER of the masked rays (reflect_sampling_nerf_
+model.py:267) — it never pays unmasked rays.  rsn's fixed-shape
+equivalent is top-K compaction, value-exact on every masked ray while
+#masked <= K ("reflect_overflow" == 0).  Train steps here are timed at
+the adaptive controller's SETTLED steady-state bucket on this scene
+(0.625: trained mask fraction 0.41-0.43 per tools/exp_mask_fraction.py
++ controller headroom, BASELINE.md r2 row) with zero overflow verified
+on the timed batch — still conservative vs the reference, which pays
+only ~0.43R.  parity_dense_train_* additionally reports the parity
+scheme with compaction OFF (reflect_ray_fraction 1.0: every ray pays
+passes 3/4 whether masked or not — MORE work than the reference's own
+gather semantics; kept for continuity with r1/r2 records).
 """
 from __future__ import annotations
 
 import json
-import time
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    import optax
 
-    from rsn.configs import ModelConfig, TrainerConfig
+    from rsn.configs import TrainerConfig
     from rsn.data.synthetic import make_synthetic_dataset
     from rsn.engine.trainer import TrainState, make_train_step
     from rsn.models import field as field_lib
@@ -45,13 +59,16 @@ def main() -> None:
     config = TrainerConfig()
     # bf16 trunk matmuls on TPU (fp32 elsewhere)
     import dataclasses
-    # parity config = the reference-default scheme: every masked ray
-    # pays the reflected passes (reflect_ray_fraction 1.0, the setting
-    # tests/test_full_model_oracle.py actually locks to the reference);
-    # the 0.5-compaction training default is measured via the preset
+    # parity config = the reference-default coarse/fine scheme (the one
+    # tests/test_full_model_oracle.py locks).  Dense = frac 1.0 (every
+    # ray pays passes 3/4); gather-cost = the settled steady-state
+    # compaction bucket, value-exact on every masked ray (docstring).
+    STEADY_BUCKET = 0.625
     mcfg = dataclasses.replace(config.pipeline.model,
                                compute_dtype="bfloat16",
                                reflect_ray_fraction=1.0)
+    mcfg_gather = dataclasses.replace(mcfg,
+                                      reflect_ray_fraction=STEADY_BUCKET)
     config = dataclasses.replace(
         config, pipeline=dataclasses.replace(config.pipeline, model=mcfg))
 
@@ -60,21 +77,41 @@ def main() -> None:
     ds = make_synthetic_dataset(num_cameras=4, H=64, W=64)
     images = jnp.asarray(ds.images)
     params = field_lib.init_field_params(jax.random.PRNGKey(0))
-    train_step, optimizer = make_train_step(config)
-    state = TrainState(params=params, opt_state=optimizer.init(params),
-                       step=jnp.int32(0))
-    # no donation: the timing protocol re-invokes with the same state
-    step_fn = jax.jit(lambda s, im, cam, k: train_step(s, im, cam, k))
 
+    from rsn.engine.optimizers import build_optimizer
     from rsn.utils.timing import time_fn
 
     key = jax.random.PRNGKey(0)
-    # NOTE: block_until_ready is unreliable on the axon tunnel backend;
-    # time_fn uses the RTT-corrected differential protocol.
-    train_dt = time_fn(
-        lambda s, k: step_fn(s, images, ds.cameras, k)[1]["total_loss"],
-        state, key)
-    train_rays_s = batch / train_dt
+
+    def timed_train_rays_s(mcfg_t, prop_params=None):
+        """Train-step throughput of one model config; verifies zero
+        reflected-ray overflow whenever compaction is on (the timed
+        program is then value-exact on every masked ray — reference
+        gather semantics, reflect_sampling_nerf_model.py:267)."""
+        cfg_t = dataclasses.replace(
+            config,
+            pipeline=dataclasses.replace(config.pipeline, model=mcfg_t))
+        ts_fn, opt = make_train_step(cfg_t)
+        st = TrainState(
+            params=params, opt_state=opt.init(params), step=jnp.int32(0),
+            proposal=prop_params,
+            proposal_opt_state=(build_optimizer(
+                cfg_t.optimizers["proposal_networks"]).init(prop_params)
+                if prop_params is not None else None))
+        # no donation: the timing protocol re-invokes with the same state
+        fn = jax.jit(lambda s, k: ts_fn(s, images, ds.cameras, k))
+        if mcfg_t.use_reflection and mcfg_t.reflect_ray_fraction < 1.0:
+            ov = float(fn(st, key)[1].get("reflect_overflow", 0.0))
+            assert ov == 0.0, (
+                f"reflect overflow {ov} at bucket "
+                f"{mcfg_t.reflect_ray_fraction} — bucket not exact here")
+        # NOTE: block_until_ready is unreliable on the axon tunnel
+        # backend; time_fn uses the RTT-corrected differential protocol.
+        dt = time_fn(lambda s, k: fn(s, k)[1]["total_loss"], st, key)
+        return batch / dt
+
+    train_rays_s = timed_train_rays_s(mcfg_gather)
+    dense_train_rays_s = timed_train_rays_s(mcfg)
 
     # render throughput: eval-mode 4-pass on a big ray chunk
     R = 16384
@@ -103,7 +140,7 @@ def main() -> None:
             return cfg_m
         probe = jax.jit(lambda p, b, k: model_lib.get_outputs(
             p, b, k, cfg_m, training=False, prop_params=prop)["mask"])
-        mask_frac = float(jnp.mean(probe(state.params, bundle, key)))
+        mask_frac = float(jnp.mean(probe(params, bundle, key)))
         need = min(1.0, mask_frac + REFLECT_HEADROOM)
         frac = next(b for b in REFLECT_FRACTION_BUCKETS if b >= need)
         while frac < 1.0:
@@ -112,7 +149,7 @@ def main() -> None:
             ov = jax.jit(lambda p, b, k: model_lib.get_outputs(
                 p, b, k, cfg_b, training=False,
                 prop_params=prop)["reflect_overflow"])
-            if float(ov(state.params, bundle, key)) == 0.0:
+            if float(ov(params, bundle, key)) == 0.0:
                 return cfg_b
             frac = next(b for b in REFLECT_FRACTION_BUCKETS if b > frac)
         return cfg_m
@@ -123,7 +160,7 @@ def main() -> None:
     mcfg_r = settle_render_cfg(mcfg, None)
     render = jax.jit(lambda p, b, k: model_lib.final_rgb(
         model_lib.get_outputs(p, b, k, mcfg_r, training=False)))
-    render_dt = time_fn(render, state.params, bundle, key)
+    render_dt = time_fn(render, params, bundle, key)
     render_rays_s = R / render_dt
 
     # the recommended preset (headline): proposal sampling with its
@@ -135,30 +172,22 @@ def main() -> None:
 
     preset_mcfg = get_method(
         "reflect-sampling-nerf-proposal").config_factory().pipeline.model
-    pcfg = dataclasses.replace(preset_mcfg, compute_dtype="bfloat16")
-    pconfig = dataclasses.replace(
-        config, pipeline=dataclasses.replace(config.pipeline, model=pcfg))
+    # train timed at the controller's settled steady-state bucket, NOT
+    # the 0.5 starting default (docstring; zero overflow verified)
+    pcfg = dataclasses.replace(preset_mcfg, compute_dtype="bfloat16",
+                               reflect_ray_fraction=STEADY_BUCKET)
     prop = proposal_lib.init_proposal_params(jax.random.PRNGKey(2))
-    ptrain_step, poptimizer = make_train_step(pconfig)
-    pstate = TrainState(
-        params=params, opt_state=poptimizer.init(params),
-        step=jnp.int32(0), proposal=prop,
-        proposal_opt_state=build_optimizer(
-            pconfig.optimizers["proposal_networks"]).init(prop))
-    pstep_fn = jax.jit(lambda s, k: ptrain_step(s, images, ds.cameras, k))
-    ptrain_dt = time_fn(
-        lambda s, k: pstep_fn(s, k)[1]["total_loss"], pstate, key)
+    ptrain_rays_s = timed_train_rays_s(pcfg, prop)
     pcfg_r = settle_render_cfg(pcfg, prop)
     prender = jax.jit(lambda p, b, k: model_lib.final_rgb(
         model_lib.get_outputs(p, b, k, pcfg_r, training=False,
                               prop_params=prop)))
-    prender_dt = time_fn(prender, state.params, bundle, key)
+    prender_dt = time_fn(prender, params, bundle, key)
 
     # harmonic mean: one train ray + one render ray per "unit of use"
     def harmonic(a, b):
         return 2.0 / (1.0 / a + 1.0 / b)
 
-    ptrain_rays_s = batch / ptrain_dt
     prender_rays_s = R / prender_dt
     # headline: the recommended quality-parity preset (docstring)
     per_chip = harmonic(ptrain_rays_s, prender_rays_s) / max(n_dev, 1)
@@ -175,6 +204,12 @@ def main() -> None:
         "parity_train_rays_per_sec": round(train_rays_s, 1),
         "parity_render_rays_per_sec": round(render_rays_s, 1),
         "parity_vs_baseline": round(parity_per_chip / 250_000.0, 4),
+        # compaction OFF: every ray pays passes 3/4 (more work than the
+        # reference's own gather; r1/r2-comparable record)
+        "parity_dense_train_rays_per_sec": round(dense_train_rays_s, 1),
+        "parity_dense_combined_rays_per_sec": round(
+            harmonic(dense_train_rays_s, render_rays_s) / max(n_dev, 1), 1),
+        "train_reflect_bucket": STEADY_BUCKET,
         "devices": n_dev,
     }))
 

@@ -344,7 +344,23 @@ def load_dataset(parser: str, data_dir: str, split: str,
     if parser == "synthetic":
         from rsn.data.synthetic import make_synthetic_dataset
         # data selects the procedural scene ("sphere" | "triple" |
-        # "specular"); empty = the default diffuse sphere
-        return make_synthetic_dataset(split=split,
-                                      scene=(data_dir or "sphere"))
+        # "specular"); empty = the default diffuse sphere.  Optional
+        # :key=value suffixes size the dataset, e.g.
+        # "specular:cams=48,res=96" (the defaults, 12 cams at 64^2, are
+        # data-starved for geometry-critical benchmarks like the mirror
+        # scene — a convex mirror needs many views for consistent
+        # normals).
+        spec = data_dir or "sphere"
+        scene, _, opts = spec.partition(":")
+        kw = {}
+        for item in filter(None, opts.split(",")):
+            k, _, v = item.partition("=")
+            if k == "cams":
+                kw["num_cameras"] = int(v)
+            elif k == "res":
+                kw["H"] = kw["W"] = int(v)
+            else:
+                raise ValueError(f"unknown synthetic-scene option: {item}")
+        return make_synthetic_dataset(split=split, scene=scene or "sphere",
+                                      **kw)
     raise ValueError(f"unknown dataparser: {parser}")

@@ -3,6 +3,7 @@ scene tree, camera ray generation conventions, pixel_area finite
 differences, and the synthetic scene's geometry invariants.
 """
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -125,6 +126,12 @@ def test_synthetic_scene_selection_via_data_field():
     spec = load_dataset("synthetic", "specular", "train")
     sphere = load_dataset("synthetic", "", "train")
     assert not np.allclose(spec.images, sphere.images)
+
+    # :key=value suffixes size the dataset (cams / res)
+    sized = load_dataset("synthetic", "specular:cams=5,res=24", "train")
+    assert sized.images.shape == (5, 24, 24, 3)
+    with pytest.raises(ValueError):
+        load_dataset("synthetic", "specular:bogus=1", "train")
 
 
 def test_nerfstudio_format_loader(tmp_path):
