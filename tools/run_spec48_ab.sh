@@ -6,6 +6,9 @@
 # 0.29 dominates) and eval craters — the mirror benchmark needs enough
 # views to pin geometry, like the 100-view Blender sets the reference
 # targets.  Eval cadences relaxed (pure logging; no effect on quality).
+# --steps-per-log 100: the dispatch chunk is capped by the log cadence
+# (trainer._next_chunk), so the default 10 pays a tunnel RTT every 10
+# steps — ~2-3x wall-clock on this backend.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
@@ -19,6 +22,7 @@ run_one() {
     --pipeline.datamanager.dataparser synthetic \
     --pipeline.datamanager.data "$DATA" \
     --steps-per-eval-batch 500 --steps-per-eval-image 2000 \
+    --steps-per-log 100 \
     --max-num-iterations 30000 || { echo "TRAIN FAILED $method"; return 1; }
   local run_dir
   run_dir=$(ls -dt "outputs/$exp/$method"/*/ | head -1)
