@@ -45,8 +45,15 @@ def ssim(pred: jax.Array, gt: jax.Array, data_range: float = 1.0,
         x = jnp.transpose(img, (2, 0, 1))[:, None]  # (C,1,H,W)
         kh = kern.reshape(1, 1, -1, 1)
         kw = kern.reshape(1, 1, 1, -1)
-        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+        # Precision.HIGHEST: TPU convs default to bf16 passes, whose
+        # ~1e-2 moment error swamps c2=9e-4 in the var cancellation
+        # mu_pp - mu_p^2 — denominators go negative and window SSIM
+        # explodes past 1 (observed fine_ssim 2.89 on a TPU eval).
+        hi = jax.lax.Precision.HIGHEST
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                         precision=hi)
+        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                         precision=hi)
         return x[:, 0]  # (C, H', W')
 
     mu_p = blur(pred)

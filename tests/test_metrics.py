@@ -70,6 +70,20 @@ def test_ssim_orders_degradation():
     assert s1 > s2
 
 
+def test_ssim_bounded_on_flat_regions():
+    """SSIM must stay <= 1 even on images dominated by zero-variance
+    windows — the case where a low-precision blur's moment error flips
+    var_p + var_g + c2 negative and window SSIM explodes (observed
+    fine_ssim 2.89 on a TPU eval before the convs were pinned to
+    Precision.HIGHEST)."""
+    rng = np.random.default_rng(3)
+    a = np.full((64, 64, 3), 0.73, np.float32)
+    b = a.copy()
+    b[30:34, 30:34] += rng.normal(0, 0.05, (4, 4, 3)).astype(np.float32)
+    s = float(M.ssim(jnp.asarray(a), jnp.asarray(np.clip(b, 0, 1))))
+    assert 0.0 < s <= 1.0 + 1e-6
+
+
 def test_lpips_gated():
     """No pretrained weights offline: must return a float or None, never
     raise."""
