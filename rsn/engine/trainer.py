@@ -651,7 +651,31 @@ class Trainer:
                      "proposal_opt_state"):
             if getattr(self.state, name) is not None:
                 abstract[name] = getattr(self.state, name)
-        restored = ckpt_lib.load_checkpoint(path, abstract)
+        try:
+            restored = ckpt_lib.load_checkpoint(path, abstract)
+        except Exception:
+            # legacy checkpoint: optimizer moments stored per-leaf
+            # (pre flatten_optimizer) — restore against the legacy
+            # structure and ravel the moments into vectors
+            from rsn.engine.optimizers import (build_optimizer as _bo,
+                                               migrate_opt_state)
+            legacy = dict(abstract)
+            legacy["opt_state"] = _bo(self.config.optimizers["fields"],
+                                      flatten=False).init(self.state.params)
+            if self.state.camera is not None:
+                legacy["camera_opt_state"] = _bo(
+                    self.config.optimizers["camera_opt"],
+                    flatten=False).init(self.state.camera)
+            if self.state.proposal is not None:
+                legacy["proposal_opt_state"] = _bo(
+                    self.config.optimizers["proposal_networks"],
+                    flatten=False).init(self.state.proposal)
+            restored = ckpt_lib.load_checkpoint(path, legacy)
+            restored["opt_state"] = migrate_opt_state(
+                restored["opt_state"])
+            for name in ("camera_opt_state", "proposal_opt_state"):
+                if restored.get(name) is not None:
+                    restored[name] = migrate_opt_state(restored[name])
         self.state = TrainState(
             params=restored["params"], opt_state=restored["opt_state"],
             step=jnp.int32(restored["step"]),
