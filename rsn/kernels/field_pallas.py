@@ -252,6 +252,11 @@ def field_forward(packed, enc: jax.Array, tile: int = DEFAULT_TILE):
 #   [13] roughness raw                [14:128) zero pad
 
 V3_OUT = 128
+# narrow store for the eval/render path: only cols [0, 14) carry data,
+# so the kernel emits 16 columns (sublane-even) instead of the padded
+# 128 — 8x less HBM write traffic, identical values (field_forward_v3's
+# out_cols).  Train-path kernels keep V3_OUT (dmc cols + acts layout).
+V3_EVAL_COLS = 16
 V3_MID = slice(0, 3)
 V3_DIFF = slice(3, 6)
 V3_TINT = slice(6, 9)
@@ -375,8 +380,9 @@ def _ipe_parts(mc, ipe):
 
 
 def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
-                w_out, b_out, wd_row=None, want_acts=False):
-    """Forward body for one half-tile -> (T/2, V3_OUT) fp32 columns.
+                w_out, b_out, wd_row=None, want_acts=False,
+                out_width: int = V3_OUT):
+    """Forward body for one half-tile -> (T/2, out_width) fp32 columns.
 
     parts: the half's precomputed IPE (x, pre_enc, damp).  Operands use
     the fused pack_params_v3f layout: the bottleneck head is folded into
@@ -419,7 +425,7 @@ def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
     mid_out = diff + tint * mid
 
     if wd_row is None:
-        zeros = jnp.zeros((x.shape[0], V3_OUT - 14), f32)
+        zeros = jnp.zeros((x.shape[0], out_width - 14), f32)
         out = jnp.concatenate([mid_out, diff, tint, normals_raw,
                                density_pre, rough_raw, zeros], axis=1)
         return (out, hs) if want_acts else out
@@ -442,7 +448,7 @@ def _field_half(parts, g_rep, ipe, ws, bs, whs, bhs, w_comb, b_comb,
     dpre_enc = dx * (M * damp * _cos2pi(u) + (1.0 - M))
     dmc = jax.lax.dot_general(dpre_enc, A, (((1,), (1,)), ((), ())),
                               preferred_element_type=f32)
-    zeros = jnp.zeros((x.shape[0], V3_OUT - 17), f32)
+    zeros = jnp.zeros((x.shape[0], out_width - 17), f32)
     out = jnp.concatenate([mid_out, diff, tint, normals_raw, density_pre,
                            rough_raw, dmc[:, 0:3], zeros], axis=1)
     return (out, hs) if want_acts else out
@@ -475,7 +481,8 @@ def _field_kernel_halved(want_normals, mc_ref, g_ref, A_ref, bA_ref,
     for p in range(N_HALVES):
         out = _field_half(parts[p],
                           g_rep[p * H:(p + 1) * H, :], ipe, ws, bs, whs,
-                          bhs, w_comb, b_comb, w_out, b_out, wd_row)
+                          bhs, w_comb, b_comb, w_out, b_out, wd_row,
+                          out_width=out_ref.shape[1])
         out_ref[p * H:(p + 1) * H, :] = out.astype(jnp.bfloat16)
 
 
@@ -483,15 +490,21 @@ _kernel_v3 = functools.partial(_field_kernel_halved, False)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
-                                               "interpret"))
+                                               "interpret", "out_cols"))
 def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
                      samples_per_ray: int, tile: int = DEFAULT_TILE,
-                     interpret: bool = False):
+                     interpret: bool = False, out_cols: int = V3_OUT):
     """Full fused field+mid forward.
 
     packed: pack_params_v3f operands (fused bottleneck/mid tail).
     mean_cov: (N, 16) fp32; g_bands: (R, 512) fp32 per-ray SH partials
-    (4 bands x 128); N = R * samples_per_ray.  -> (N, 128) bf16.
+    (4 bands x 128); N = R * samples_per_ray.  -> (N, out_cols) bf16.
+
+    out_cols: width of the emitted output (>= 14; default the padded
+    V3_OUT).  The eval/render path passes V3_EVAL_COLS: only cols
+    [0, 14) carry data (V3_MID..V3_ROUGH), so a narrow store cuts the
+    kernel's HBM write (and the composites' read) 8x — ~1 GB per 16k-ray
+    render chunk at S=128.  Identical values in the kept columns.
     """
     n = mean_cov.shape[0]
     assert n % tile == 0, (n, tile)
@@ -527,12 +540,12 @@ def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        out_specs=pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, out_cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, V3_OUT), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((n, out_cols), jnp.bfloat16),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_row * n,
-            bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2) + 512 * 4 * (
+            bytes_accessed=n * (IN_COLS * 4 + out_cols * 2) + 512 * 4 * (
                 n // samples_per_ray),
             transcendentals=n * 200),
     )(mean_cov, g_bands, *ipe_ops, E, *packed)

@@ -93,6 +93,22 @@ def test_forward_matches_shadow(setup):
                                atol=2e-2, rtol=2e-2)
 
 
+def test_forward_narrow_out_cols_matches_full(setup):
+    """out_cols=V3_EVAL_COLS (the render path's narrow store) must be a
+    column-prefix of the full V3_OUT output, bit-identical."""
+    params, mc, g = setup
+    packed = fp.pack_params_v3f(params)
+    out_full = fp.field_forward_v3(packed, mc, g, S, tile=TILE,
+                                   interpret=True)
+    out_narrow = fp.field_forward_v3(packed, mc, g, S, tile=TILE,
+                                     interpret=True,
+                                     out_cols=fp.V3_EVAL_COLS)
+    assert out_narrow.shape == (N, fp.V3_EVAL_COLS)
+    np.testing.assert_array_equal(
+        np.asarray(out_narrow, np.float32),
+        np.asarray(out_full[:, :fp.V3_EVAL_COLS], np.float32))
+
+
 def test_backward_matches_shadow_grads(setup):
     params, mc, g = setup
     key = jax.random.PRNGKey(3)
