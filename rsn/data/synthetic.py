@@ -72,6 +72,24 @@ DISK_CHECKER = 0.45
 DISK_COLORS = (np.array([0.85, 0.12, 0.12], np.float32),
                np.array([0.12, 0.12, 0.85], np.float32))
 
+# scene="glossy": the specular scene with the geometry anchor the
+# near-perfect mirror lacks.  The 12- and 48-cam mirror A/Bs
+# (BASELINE.md r3) record that on a diffuse-free mirror the density
+# field "fakes" reflections and ∇σ normals never become multi-view
+# consistent, so the reflected passes fire in wrong directions and
+# HURT.  The reference's own target domain (shiny-Blender-style
+# scenes) anchors geometry with textured diffuse under a glossy coat —
+# here the sphere keeps a strong lat/long-checker Lambert albedo with
+# a 0.45 uniform reflective tint over it.  The diffuse parallax pins
+# the surface (hence the normals), and the resampled near-field
+# reflected content (satellites + ground checker) is what separates
+# reflected-ray resampling (reflect_sampling_nerf_model.py:267-339)
+# from a direction-smooth ISH environment.
+GLOSSY_TINT = np.float32(0.45)
+GLOSSY_CHECK = 6  # checker cells per pi of latitude / per 2pi/3 of lon
+GLOSSY_COLORS = (np.array([0.78, 0.22, 0.16], np.float32),
+                 np.array([0.16, 0.42, 0.78], np.float32))
+
 
 def _look_at_pose(eye: np.ndarray) -> np.ndarray:
     """OpenGL-style camera-to-world looking at the origin (z = backward)."""
@@ -234,13 +252,53 @@ def _render_specular(pose: np.ndarray, H: int, W: int,
     return img.astype(np.float32)
 
 
+def _render_glossy(pose: np.ndarray, H: int, W: int,
+                   focal: float) -> np.ndarray:
+    """One-bounce ray trace of the glossy-sphere scene: textured
+    Lambert diffuse + GLOSSY_TINT * radiance(reflected ray), the exact
+    composite the model's reflected pass produces (model.py:504)."""
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    d_cam = np.stack([(xs - W / 2.0) / focal, -(ys - H / 2.0) / focal,
+                      -np.ones_like(xs)], axis=-1)
+    d = d_cam @ pose[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+
+    sat_rgb, sat_t = _trace_satellites(o, d)
+    mir_t = _sphere_hit(o, d, np.zeros(3, np.float32), MIRROR_RADIUS)
+
+    tm = np.where(np.isfinite(mir_t), mir_t, 0.0)[..., None]
+    p = o + d * tm
+    n = p / MIRROR_RADIUS
+    refl = d - 2.0 * np.sum(d * n, axis=-1, keepdims=True) * n
+    env_rgb, _ = _trace_satellites(p, refl)
+    # lat/long checker albedo — the diffuse texture that anchors the
+    # surface (and therefore the analytic normals) across views
+    lon = np.arctan2(n[..., 1], n[..., 0])  # [-pi, pi)
+    lat = np.arcsin(np.clip(n[..., 2], -1.0, 1.0))  # [-pi/2, pi/2]
+    par = (np.floor((lon / np.pi + 1.0) * 1.5 * GLOSSY_CHECK)
+           + np.floor((lat / np.pi + 0.5) * GLOSSY_CHECK)).astype(int) % 2
+    albedo = np.where(par[..., None] == 0, GLOSSY_COLORS[0],
+                      GLOSSY_COLORS[1])
+    lam = np.clip(np.sum(n * LIGHT_DIR, axis=-1), 0.0, 1.0)
+    shade = (0.25 + 0.75 * lam)[..., None] * albedo
+    mir_rgb = np.clip(shade + GLOSSY_TINT * env_rgb, 0.0, 1.0)
+
+    img = np.ones(d.shape[:-1] + (3,), np.float32)  # white background
+    img = np.where((sat_t < mir_t)[..., None], sat_rgb, img)
+    img = np.where((mir_t <= sat_t)[..., None] & np.isfinite(mir_t)[..., None],
+                   mir_rgb, img)
+    return img.astype(np.float32)
+
+
 def make_synthetic_dataset(num_cameras: int = 12, H: int = 64, W: int = 64,
                            split: str = "train",
                            scene: str = "sphere") -> Dataset:
     import jax.numpy as jnp
 
     render = {"sphere": _render_sphere, "triple": _render_triple,
-              "specular": _render_specular}[scene]
+              "specular": _render_specular, "glossy": _render_glossy}[scene]
 
     camera_angle_x = 0.6911112070083618  # lego's fov, ~39.6 deg
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)

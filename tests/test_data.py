@@ -119,6 +119,51 @@ def test_synthetic_specular_scene():
     assert frac > 0.15, frac
 
 
+def test_synthetic_glossy_scene():
+    """The glossy-sphere scene: the mirror scene with a textured
+    diffuse anchor (lat/long checker Lambert albedo under a 0.45 tint).
+    The mirror A/Bs (BASELINE.md r3) show a diffuse-free mirror never
+    converges to consistent normals; the glossy variant is the
+    reference's shiny-Blender-style domain where the reflected passes
+    can demonstrably win."""
+    from rsn.data import synthetic as S
+
+    glo = make_synthetic_dataset(num_cameras=8, H=48, W=48, scene="glossy")
+    assert glo.images.shape == (8, 48, 48, 3)
+    assert glo.images.min() >= 0.0 and glo.images.max() <= 1.0
+
+    # (a) the sphere still carries view-dependent (reflected) content
+    spec_dep = np.var(glo.images[:, 18:30, 18:30], axis=0).mean()
+    diff = make_synthetic_dataset(num_cameras=8, H=48, W=48, scene="sphere")
+    diff_dep = np.var(np.asarray(diff.images)[:, 18:30, 18:30], axis=0).mean()
+    assert spec_dep > 1.5 * diff_dep, (spec_dep, diff_dep)
+
+    # (b) the diffuse texture anchor exists: with the env term removed,
+    # the sphere's surface albedo must still be strongly textured
+    # (checker contrast), unlike the near-constant MIRROR_DIFF
+    pose = S._look_at_pose(np.array([4.0, 0.0, 1.0], np.float32)
+                           * 4.0 / np.linalg.norm([4.0, 0.0, 1.0]))
+    H = W = 48
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    d = np.stack([(xs - W / 2) / focal, -(ys - H / 2) / focal,
+                  -np.ones_like(xs)], -1) @ pose[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+    mir_t = S._sphere_hit(o, d, np.zeros(3, np.float32), S.MIRROR_RADIUS)
+    hit = np.isfinite(mir_t)
+    p = o + d * np.where(hit, mir_t, 0.0)[..., None]
+    n = p / S.MIRROR_RADIUS
+    lon = np.arctan2(n[..., 1], n[..., 0])
+    lat = np.arcsin(np.clip(n[..., 2], -1.0, 1.0))
+    par = (np.floor((lon / np.pi + 1.0) * 1.5 * S.GLOSSY_CHECK)
+           + np.floor((lat / np.pi + 0.5) * S.GLOSSY_CHECK)).astype(int) % 2
+    albedo = np.where(par[..., None] == 0, S.GLOSSY_COLORS[0],
+                      S.GLOSSY_COLORS[1])
+    assert np.var(albedo[hit], axis=0).mean() > 0.02  # strong texture
+
+
 def test_synthetic_scene_selection_via_data_field():
     """dataparser='synthetic' routes the --data string to the scene."""
     from rsn.data.blender import load_dataset
