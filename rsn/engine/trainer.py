@@ -683,6 +683,13 @@ class Trainer:
             camera_opt_state=restored.get("camera_opt_state"),
             proposal=restored.get("proposal"),
             proposal_opt_state=restored.get("proposal_opt_state"))
+        if self.num_devices > 1:
+            # orbax restores COMMITTED to single devices; the shard_map
+            # train step needs the state replicated over the mesh
+            rep = mesh_lib.replicated(self.mesh)
+            self.state = jax.tree.map(
+                lambda x: jax.device_put(x, rep)
+                if isinstance(x, jax.Array) else x, self.state)
         self._restore_controller_state(os.path.dirname(path))
 
     def _log(self, step: int, metrics: Dict[str, float]) -> None:

@@ -49,6 +49,65 @@ def test_radam_optimizer_builds_and_steps():
     assert bool(jnp.isfinite(updates["w"]).all())
 
 
+def test_flattened_optimizer_matches_per_leaf():
+    """flatten_optimizer (one raveled-vector update, a single XLA
+    fusion instead of ~30) must produce the exact per-leaf RAdam
+    trajectory: the update is elementwise, so ravel/unravel commutes
+    with it."""
+    cfg = OptimizerGroupConfig(optimizer="radam")
+    flat = build_optimizer(cfg)               # flatten=True default
+    leaf = build_optimizer(cfg, flatten=False)
+    p_f = {"a": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((4,)) * 0.3}
+    p_l = jax.tree.map(jnp.copy, p_f)
+    s_f, s_l = flat.init(p_f), leaf.init(p_l)
+    key = jax.random.PRNGKey(5)
+    import optax
+    for i in range(4):
+        key, k = jax.random.split(key)
+        g = jax.tree.map(
+            lambda x: jax.random.normal(jax.random.fold_in(k, x.size),
+                                        x.shape), p_f)
+        u_f, s_f = flat.update(g, s_f, p_f)
+        u_l, s_l = leaf.update(g, s_l, p_l)
+        p_f = optax.apply_updates(p_f, u_f)
+        p_l = optax.apply_updates(p_l, u_l)
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-7)
+
+
+def test_legacy_per_leaf_checkpoint_migrates_on_restore(tmp_path):
+    """Checkpoints written before flatten_optimizer store per-leaf
+    Adam/RAdam moments; Trainer.restore must migrate them to the
+    raveled-vector state and continue training with the identical
+    trajectory (migrate_opt_state ravels mu/nu in ravel_pytree's own
+    leaf order)."""
+    from rsn.engine.optimizers import migrate_opt_state
+    from rsn.engine.trainer import Trainer
+
+    cfg = _mini_trainer_cfg(tmp_path)
+    tr = Trainer(cfg)
+    # fabricate a LEGACY checkpoint: same params, per-leaf moments with
+    # distinctive values (a few update steps so mu/nu are non-zero)
+    leaf_opt = build_optimizer(cfg.optimizers["fields"], flatten=False)
+    ls = leaf_opt.init(tr.state.params)
+    g = jax.tree.map(lambda x: jnp.full_like(x, 0.01), tr.state.params)
+    _, ls = leaf_opt.update(g, ls, tr.state.params)
+    ckpt_dir = str(tmp_path / "legacy_ckpts")
+    ckpt_lib.save_checkpoint(ckpt_dir, 3, tr.state.params, ls)
+
+    tr.restore(ckpt_dir)
+    assert int(tr.state.step) == 3
+    # migrated moments == ravel of the legacy per-leaf moments
+    expect = migrate_opt_state(ls)
+    got_mu = next(s.mu for s in tr.state.opt_state
+                  if hasattr(s, "mu"))
+    exp_mu = next(s.mu for s in expect if hasattr(s, "mu"))
+    np.testing.assert_array_equal(np.asarray(got_mu), np.asarray(exp_mu))
+    tr.train()  # continues from the migrated state without error
+    assert int(tr.state.step) == cfg.max_num_iterations
+
+
 def test_warmup_coefficients_traced():
     c0 = loss_coefficients_traced(jnp.int32(0))
     c100 = loss_coefficients_traced(jnp.int32(100))
