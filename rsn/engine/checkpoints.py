@@ -73,6 +73,35 @@ def load_checkpoint(path: str, abstract_state: Any = None) -> Dict[str, Any]:
         return ckptr.restore(path, abstract_state)
 
 
+def _find_key(tree, key):
+    if isinstance(tree, dict):
+        if key in tree:
+            return tree[key]
+        tree = tree.values()
+    if isinstance(tree, (list, tuple)) or hasattr(tree, "__iter__"):
+        for v in tree:
+            r = _find_key(v, key)
+            if r is not None:
+                return r
+    return None
+
+
+def checkpoint_is_legacy(path: str) -> bool:
+    """True when the checkpoint predates flatten_optimizer: its Adam/
+    RAdam moments are stored per parameter leaf (a pytree mirroring
+    params) instead of one raveled vector.  Decided from the saved
+    orbax metadata — NOT by trial-restoring and catching the mismatch,
+    which masked genuine restore failures (corrupt/partial writes)
+    behind a confusing legacy-shape error (ADVICE r3)."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(os.path.abspath(path))
+    tree = meta.item_metadata.tree if hasattr(meta, "item_metadata") else meta
+    opt = tree.get("opt_state") if isinstance(tree, dict) else None
+    mu = _find_key(opt, "mu") if opt is not None else None
+    return mu is not None and not hasattr(mu, "shape")
+
+
 def dump_config(run_dir: str, config) -> None:
     def to_dict(obj):
         if dataclasses.is_dataclass(obj):

@@ -224,9 +224,12 @@ def make_train_step(config: TrainerConfig):
         metrics = dict(loss_dict, total_loss=total, **aux)
         if return_grads:
             # debug/verification hook (dryrun_multichip's 1-vs-N
-            # equivalence check): expose this step's field gradients so
-            # a single-device caller can reproduce pmean semantics
+            # equivalence check): expose this step's gradients for every
+            # live group so a single-device caller can reproduce pmean
+            # semantics
             metrics["_grads"] = grads
+            metrics["_cam_grads"] = cam_grads
+            metrics["_prop_grads"] = prop_grads
         return new_state, metrics
 
     return train_step, optimizer
@@ -651,12 +654,13 @@ class Trainer:
                      "proposal_opt_state"):
             if getattr(self.state, name) is not None:
                 abstract[name] = getattr(self.state, name)
-        try:
+        if not ckpt_lib.checkpoint_is_legacy(path):
             restored = ckpt_lib.load_checkpoint(path, abstract)
-        except Exception:
-            # legacy checkpoint: optimizer moments stored per-leaf
-            # (pre flatten_optimizer) — restore against the legacy
-            # structure and ravel the moments into vectors
+        else:
+            # legacy checkpoint (detected from saved metadata, not by
+            # trial-and-error — ADVICE r3): optimizer moments stored
+            # per-leaf (pre flatten_optimizer) — restore against the
+            # legacy structure and ravel the moments into vectors
             from rsn.engine.optimizers import (build_optimizer as _bo,
                                                migrate_opt_state)
             legacy = dict(abstract)

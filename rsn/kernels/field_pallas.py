@@ -507,6 +507,10 @@ def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
     render chunk at S=128.  Identical values in the kept columns.
     """
     n = mean_cov.shape[0]
+    # >= 14 so every live column (V3_MID..V3_ROUGH) fits; multiple of 8
+    # to honor TPU lane tiling on the bf16 store (ADVICE r3: an invalid
+    # width used to surface as an opaque negative-dim error in-kernel)
+    assert out_cols >= 14 and out_cols % 8 == 0, out_cols
     assert n % tile == 0, (n, tile)
     assert tile % samples_per_ray == 0, (tile, samples_per_ray)
     rays_per_tile = tile // samples_per_ray

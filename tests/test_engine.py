@@ -396,3 +396,34 @@ def test_trainer_multi_device_chunked(tmp_path):
     # params replicated => fully-addressable single logical value
     w = tr.state.params["trunk"][0]["w"]
     assert np.isfinite(np.asarray(w)).all()
+
+
+def test_trainer_multi_device_restore_replicates_and_trains(tmp_path):
+    """Save on the 8-fake-device mesh, restore into a FRESH 8-device
+    trainer, and train a chunked step (ADVICE r3: the post-restore
+    mesh replication of commit 71f5acb had no test — orbax restores
+    committed to one device; the shard_map step needs every leaf
+    replicated over the mesh)."""
+    from rsn.engine.trainer import Trainer
+
+    cfg = _mini_trainer_cfg(tmp_path, steps_per_dispatch=3, num_devices=8)
+    tr = Trainer(cfg)
+    tr.train()  # saves at step 6 (steps_per_save=6)
+    saved_w = np.asarray(tr.state.params["trunk"][0]["w"])
+
+    cfg2 = dataclasses.replace(
+        _mini_trainer_cfg(tmp_path / "resume", steps_per_dispatch=3,
+                          num_devices=8), max_num_iterations=9)
+    tr2 = Trainer(cfg2)
+    tr2.restore(tr.ckpt_dir)
+    assert int(tr2.state.step) == 6
+    np.testing.assert_array_equal(
+        np.asarray(tr2.state.params["trunk"][0]["w"]), saved_w)
+    # every leaf must be REPLICATED over the mesh, not committed to one
+    # device (the regression 71f5acb fixed)
+    for leaf in jax.tree.leaves(tr2.state):
+        if isinstance(leaf, jax.Array):
+            assert len(leaf.sharding.device_set) == 8, leaf.sharding
+    metrics = tr2.train()  # 3 more steps through the shard_map path
+    assert np.isfinite(metrics["total_loss"])
+    assert int(tr2.state.step) == 9

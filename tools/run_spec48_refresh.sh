@@ -1,0 +1,34 @@
+#!/bin/bash
+# r4 evidence refresh (VERDICT r3 #2 + weak #4): outputs/ was wiped
+# between rounds, and the committed results/spec48c30k-parity/eval.json
+# still held the pre-SSIM-fix corrupted value (fine_ssim 2.889) — so the
+# parity leg is retrained and re-evaluated on the POST-fix metrics stack
+# and re-snapshotted, and the previously-dropped preset leg is run so
+# preset-vs-parity is validated on a scene where reflections matter.
+# Cadence notes as in run_spec48_ab.sh.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+DATA="specular:cams=48,res=96"
+
+run_one() {
+  local method="$1" exp="$2"
+  echo "=== train $method -> $exp ($(date +%T)) ==="
+  timeout 7200 python -m rsn.cli.train "$method" \
+    --experiment-name "$exp" \
+    --pipeline.datamanager.dataparser synthetic \
+    --pipeline.datamanager.data "$DATA" \
+    --steps-per-eval-batch 500 --steps-per-eval-image 2000 \
+    --steps-per-log 100 \
+    --max-num-iterations 30000 || { echo "TRAIN FAILED $method"; return 1; }
+  local run_dir
+  run_dir=$(ls -dt "outputs/$exp/$method"/*/ | head -1)
+  echo "=== eval $run_dir ($(date +%T)) ==="
+  timeout 3600 python -m rsn.cli.eval --load-dir "$run_dir" \
+    || { echo "EVAL FAILED $method"; return 1; }
+  python tools/snapshot_result.py "$run_dir" "$exp"
+}
+
+run_one reflect-sampling-nerf spec48c30k-parity
+run_one reflect-sampling-nerf-proposal spec48c30k-preset
+echo "=== ALL DONE ($(date +%T)) ==="
