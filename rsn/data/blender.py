@@ -344,7 +344,8 @@ def load_dataset(parser: str, data_dir: str, split: str,
     if parser == "synthetic":
         from rsn.data.synthetic import make_synthetic_dataset
         # data selects the procedural scene ("sphere" | "triple" |
-        # "specular" | "glossy"); empty = the default diffuse sphere.
+        # "specular" | "glossy" | "shinyfloor"); empty = the default
+        # diffuse sphere.
         # Optional
         # :key=value suffixes size the dataset, e.g.
         # "specular:cams=48,res=96" (the defaults, 12 cams at 64^2, are

@@ -90,6 +90,24 @@ GLOSSY_CHECK = 6  # checker cells per pi of latitude / per 2pi/3 of lon
 GLOSSY_COLORS = (np.array([0.78, 0.22, 0.16], np.float32),
                  np.array([0.16, 0.42, 0.78], np.float32))
 
+# scene="shinyfloor": a FLAT glossy checker floor under the three
+# diffuse satellites — the scene class where explicit reflected-ray
+# resampling (reflect_sampling_nerf_model.py:267-339) has the clearest
+# edge over a direction-smooth ISH appearance model.  The curved-mirror
+# scenes above fail on NORMALS (∇σ on a volumetric sphere never becomes
+# multi-view consistent at this resolution, BASELINE.md r3/r4 A/Bs); a
+# plane's normal is a constant, the easiest possible case for both the
+# analytic and predicted normal paths — while the reflections of the
+# hovering satellites in the floor carry strong PARALLAX (the mirrored
+# image shifts with viewpoint), which a primary-only model can only
+# explain as view-dependent floor texture that generalizes wrongly to
+# held-out views.  This matches the dominant glossy geometry of the
+# reference's shiny-Blender target domain (flat glossy surfaces under
+# objects).  Albedo kept dim so diffuse + tint*reflection rarely clips.
+FLOOR_TINT = np.float32(0.5)
+FLOOR_COLORS = (np.array([0.40, 0.12, 0.10], np.float32),
+                np.array([0.10, 0.14, 0.40], np.float32))
+
 
 def _look_at_pose(eye: np.ndarray) -> np.ndarray:
     """OpenGL-style camera-to-world looking at the origin (z = backward)."""
@@ -252,6 +270,62 @@ def _render_specular(pose: np.ndarray, H: int, W: int,
     return img.astype(np.float32)
 
 
+def _trace_satellites_only(o, d):
+    """Nearest diffuse satellite radiance along (o, d); white bg where
+    nothing is hit (the shinyfloor scene's environment: no disk)."""
+    best_t = np.full(d.shape[:-1], np.inf, np.float32)
+    rgb = np.ones(d.shape[:-1] + (3,), np.float32)
+    for center, radius, color in SPEC_SATELLITES:
+        t = _sphere_hit(o, d, center, radius)
+        closer = t < best_t
+        p = o + d * np.where(np.isfinite(t), t, 0.0)[..., None]
+        rgb = np.where(closer[..., None],
+                       _lambert(p, center, radius, color), rgb)
+        best_t = np.where(closer, t, best_t)
+    return rgb, best_t
+
+
+def _render_shinyfloor(pose: np.ndarray, H: int, W: int,
+                       focal: float) -> np.ndarray:
+    """One-bounce ray trace of the glossy-floor scene: checker Lambert
+    albedo + FLOOR_TINT * radiance(reflected ray), the exact composite
+    the model's reflected pass produces (model.py:504).  The floor is
+    the DISK_Z plane disk; reflected rays mirror about +z and see the
+    satellites (parallax) or the white sky."""
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    d_cam = np.stack([(xs - W / 2.0) / focal, -(ys - H / 2.0) / focal,
+                      -np.ones_like(xs)], axis=-1)
+    d = d_cam @ pose[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+
+    sat_rgb, sat_t = _trace_satellites_only(o, d)
+
+    oz = np.broadcast_to(np.asarray(o)[..., 2], d.shape[:-1])
+    dz = d[..., 2]
+    t_f = np.where(np.abs(dz) > 1e-6, (DISK_Z - oz) / dz, np.inf)
+    t_f = np.where(t_f > 1e-4, t_f, np.inf)
+    p = np.asarray(o) + d * np.where(np.isfinite(t_f), t_f, 0.0)[..., None]
+    in_disk = (p[..., 0] ** 2 + p[..., 1] ** 2) < DISK_RADIUS**2
+    t_f = np.where(in_disk, t_f, np.inf)
+
+    par = ((np.floor(p[..., 0] / DISK_CHECKER)
+            + np.floor(p[..., 1] / DISK_CHECKER)) % 2).astype(int)
+    albedo = np.where(par[..., None] == 0, FLOOR_COLORS[0],
+                      FLOOR_COLORS[1])
+    lam = 0.25 + 0.75 * max(float(LIGHT_DIR[2]), 0.0)  # n = +z
+    refl = d * np.array([1.0, 1.0, -1.0], np.float32)  # mirror about z
+    env_rgb, _ = _trace_satellites_only(p, refl)
+    floor_rgb = np.clip(lam * albedo + FLOOR_TINT * env_rgb, 0.0, 1.0)
+
+    img = np.ones(d.shape[:-1] + (3,), np.float32)  # white background
+    img = np.where((sat_t < t_f)[..., None], sat_rgb, img)
+    img = np.where((t_f <= sat_t)[..., None] & np.isfinite(t_f)[..., None],
+                   floor_rgb, img)
+    return img.astype(np.float32)
+
+
 def _render_glossy(pose: np.ndarray, H: int, W: int,
                    focal: float) -> np.ndarray:
     """One-bounce ray trace of the glossy-sphere scene: textured
@@ -298,7 +372,8 @@ def make_synthetic_dataset(num_cameras: int = 12, H: int = 64, W: int = 64,
     import jax.numpy as jnp
 
     render = {"sphere": _render_sphere, "triple": _render_triple,
-              "specular": _render_specular, "glossy": _render_glossy}[scene]
+              "specular": _render_specular, "glossy": _render_glossy,
+              "shinyfloor": _render_shinyfloor}[scene]
 
     camera_angle_x = 0.6911112070083618  # lego's fov, ~39.6 deg
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)

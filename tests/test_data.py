@@ -164,6 +164,43 @@ def test_synthetic_glossy_scene():
     assert np.var(albedo[hit], axis=0).mean() > 0.02  # strong texture
 
 
+def test_synthetic_shinyfloor_scene():
+    """The glossy-floor scene (r4): flat glossy checker floor under the
+    three diffuse satellites.  A plane's normal is constant — the
+    easiest case for the normal paths that defeated the curved-mirror
+    benchmarks — while the satellites' floor reflections carry strong
+    parallax a primary-only model can only fake as view-dependent
+    texture."""
+    from rsn.data import synthetic as S
+
+    ds = make_synthetic_dataset(num_cameras=8, H=48, W=48,
+                                scene="shinyfloor")
+    assert ds.images.shape == (8, 48, 48, 3)
+    assert ds.images.min() >= 0.0 and ds.images.max() <= 1.0
+
+    # (a) the floor band is view-dependent (reflections move with the
+    # camera) — compare against the static diffuse sphere scene
+    lower = np.asarray(ds.images)[:, 30:, :, :]
+    floor_dep = np.var(lower, axis=0).mean()
+    diff = make_synthetic_dataset(num_cameras=8, H=48, W=48,
+                                  scene="sphere")
+    diff_dep = np.var(np.asarray(diff.images)[:, 30:, :, :], axis=0).mean()
+    assert floor_dep > 1.5 * diff_dep, (floor_dep, diff_dep)
+
+    # (b) with the reflection term removed the floor still carries the
+    # checker texture anchor (position-coded diffuse)
+    a0, a1 = S.FLOOR_COLORS
+    assert np.abs(a0 - a1).max() > 0.25
+
+    # (c) reflections really are the mirrored satellites: a floor point
+    # under a satellite sees it in the reflected direction
+    c0 = S.SPEC_SATELLITES[0][0]
+    p = np.array([c0[0], c0[1], S.DISK_Z], np.float32)  # directly below
+    up = np.array([0.0, 0.0, 1.0], np.float32)
+    t = S._sphere_hit(p, up[None], c0, S.SPEC_SATELLITES[0][1])
+    assert np.isfinite(t).all()
+
+
 def test_synthetic_scene_selection_via_data_field():
     """dataparser='synthetic' routes the --data string to the scene."""
     from rsn.data.blender import load_dataset
