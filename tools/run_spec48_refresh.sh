@@ -30,5 +30,9 @@ run_one() {
 }
 
 run_one reflect-sampling-nerf spec48c30k-parity
-run_one reflect-sampling-nerf-proposal spec48c30k-preset
+# preset-vs-parity where reflections matter is covered by the
+# shinyfloor A/B's preset leg; pass "all" to also re-run it here
+if [ "${1:-parity}" = "all" ]; then
+  run_one reflect-sampling-nerf-proposal spec48c30k-preset
+fi
 echo "=== ALL DONE ($(date +%T)) ==="
