@@ -137,3 +137,35 @@ def test_pdf_sampler_zero_weights_no_nan():
                       key=jax.random.PRNGKey(0))
     assert bool(jnp.isfinite(fine.starts).all())
     assert bool(jnp.isfinite(fine.ends).all())
+
+
+def test_pdf_onehot_formulation_bit_identical():
+    """The count + one-hot-matmul searchsorted (tools/exp_pdf_variants.
+    pdf_sample_onehot, candidate for the render path) must be
+    bit-identical to pdf_sample on adversarial weight histograms:
+    duplicate CDF values (zero-weight runs), all-zero weights (eps
+    guard), spikes at the first/last bin, and stratified keys."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "tools"))
+    from exp_pdf_variants import pdf_sample_onehot
+
+    rb = make_bundle(num_rays=5)
+    coarse = spaced_sample(rb, identity_spacing(), 16, key=None)
+    rng = np.random.default_rng(0)
+    cases = [
+        jnp.asarray(np.abs(rng.normal(size=(5, 16, 1))).astype(np.float32)),
+        jnp.zeros((5, 16, 1)),  # eps guard path
+        jnp.asarray(np.eye(16, dtype=np.float32)[[0, 15, 7, 0, 15]]
+                    [..., None] * 5.0),  # spikes => long zero runs
+        jnp.asarray((rng.random((5, 16, 1)) < 0.3).astype(np.float32)),
+    ]
+    for w in cases:
+        for key in (None, jax.random.PRNGKey(3)):
+            a = pdf_sample(rb, coarse, w, identity_spacing(), 12, key=key)
+            b = pdf_sample_onehot(rb, coarse, w, identity_spacing(), 12,
+                                  key=key)
+            np.testing.assert_array_equal(np.asarray(a.starts),
+                                          np.asarray(b.starts))
+            np.testing.assert_array_equal(np.asarray(a.ends),
+                                          np.asarray(b.ends))

@@ -24,9 +24,15 @@ from rsn.core.spacing import identity_spacing, spaced_sample
 from rsn.models import model as model_lib
 from rsn.utils.timing import time_kernel
 
-import sys
+def _r_from_argv(default=1024):
+    import sys
+    try:
+        return int(sys.argv[1])
+    except (IndexError, ValueError):
+        return default
 
-R = int(sys.argv[1]) if len(sys.argv) > 1 else 1024  # 16384 = render shape
+
+R = _r_from_argv()  # pass 16384 for the render shape
 
 
 def pdf_sample_packed(ray_bundle, ray_samples, weights, spacing,
