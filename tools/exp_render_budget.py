@@ -184,6 +184,44 @@ def main():
                 + pn.sum() + rough.sum())
     budget["composites"] = time_kernel(jax.jit(composites), out_fake, key)
 
+    # variant: transpose the kernel output ONCE to (C, R, S) contiguous
+    # planes, then composite from those — replaces up to ~14 strided
+    # lane-subset extracts of the (R, S, 16) array with one relayout
+    def composites_T(out, k):
+        planes = jnp.moveaxis(out.astype(jnp.float32), -1, 0)  # (C,R,S)
+        from rsn.core.render import (composite_planes,
+                                     render_depth_median_planes,
+                                     render_rgb_planes, safe_sqrt,
+                                     weights_planes)
+        from rsn.kernels.field_pallas import (V3_DENSITY, V3_DIFF,
+                                              V3_NORMALS, V3_ROUGH, V3_TINT)
+        dens = jax.nn.softplus(planes[V3_DENSITY])
+        deltas = (rs_fine.ends - rs_fine.starts)[..., 0]
+        wS = weights_planes(dens, deltas)
+        acc = jnp.sum(wS, axis=-1, keepdims=True)
+        dep = render_depth_median_planes(wS, rs_fine.starts[..., 0],
+                                         rs_fine.ends[..., 0])
+        white = jnp.asarray([1.0, 1.0, 1.0])
+        rgb = render_rgb_planes(wS, [planes[i] for i in range(3)], white,
+                                training=False)
+        dif = render_rgb_planes(wS, [planes[i] for i in
+                                     range(V3_DIFF.start, V3_DIFF.stop)],
+                                white, training=False)
+        tin = render_rgb_planes(wS, [planes[i] for i in
+                                     range(V3_TINT.start, V3_TINT.stop)],
+                                None, key=k, training=False)
+        nraw = [-planes[i] for i in range(V3_NORMALS.start,
+                                          V3_NORMALS.stop)]
+        nn = jnp.maximum(safe_sqrt(nraw[0]**2 + nraw[1]**2 + nraw[2]**2),
+                         1e-12)
+        pn = jnp.concatenate(composite_planes(wS, *[p / nn for p in nraw]),
+                             axis=-1)
+        rough = composite_planes(wS, jax.nn.sigmoid(planes[V3_ROUGH]))[0]
+        return (acc.sum() + dep.sum() + rgb.sum() + dif.sum() + tin.sum()
+                + pn.sum() + rough.sum())
+    budget["composites_T"] = time_kernel(jax.jit(composites_T), out_fake,
+                                         key)
+
     # inf_color on the K-subset
     sqr = jnp.abs(jax.random.normal(key, (K, 1))) * 1e-4
 
@@ -219,8 +257,9 @@ def main():
     print(f"=== render budget ({label}, R={R}, frac={frac}, K={K}) ===")
     known = 0.0
     for k, v in budget.items():
-        print(f"  {k:12s}: {v*1e3:7.3f} ms")
-        known += v
+        print(f"  {k:14s}: {v*1e3:7.3f} ms")
+        if k != "composites_T":  # variant, not a pipeline component
+            known += v
     print(f"  {'SUM known':12s}: {known*1e3:7.3f} ms")
     print(f"  {'FULL render':12s}: {t_full*1e3:7.3f} ms "
           f"-> {R/t_full:,.0f} rays/s")
