@@ -25,6 +25,12 @@ from rsn.core.spacing import Spacing, spacing_to_euclidean
 HISTOGRAM_PADDING = 0.01
 EPS = 1e-5
 
+# searchsorted+gather implementation: "reduce" (4 masked VPU
+# reductions) or "onehot" (count + one-hot MXU einsum).  Bit-identical
+# (tests/test_samplers.py); the default is chosen by TPU timing
+# (tools/exp_pdf_variants.py).
+PDF_GATHER_IMPL = "reduce"
+
 
 def pdf_sample(ray_bundle: RayBundle, ray_samples: RaySamples,
                weights: jax.Array, spacing: Spacing, num_samples: int,
@@ -66,23 +72,47 @@ def pdf_sample(ray_bundle: RayBundle, ray_samples: RaySamples,
     ], axis=-1)  # (R, S+1)
 
     # searchsorted(cdf, u, side="right") + the four gathers, reformulated
-    # TPU-first: `cdf` is sorted, so {j : cdf_j <= u} is a PREFIX — the
-    # gathered values cdf[below]/bins[below] are prefix-maxima and
-    # cdf[above]/bins[above] are suffix-minima of the same compare
-    # matrix.  Max/min reductions run on the VPU at full rate, while
-    # take_along_axis gathers are ~500x slower on TPU (measured).
-    compare = cdf[..., None, :] <= u[..., :, None]  # (R, U, S+1)
-    big = jnp.float32(2.0)  # all cdf/bins values are in [0, 1]
-    cdf_g0 = jnp.max(jnp.where(compare, cdf[..., None, :], -big), axis=-1)
-    bins_g0 = jnp.max(jnp.where(compare, existing_bins[..., None, :], -big),
-                      axis=-1)
-    cdf_g1 = jnp.min(jnp.where(compare, big, cdf[..., None, :]), axis=-1)
-    bins_g1 = jnp.min(jnp.where(compare, big, existing_bins[..., None, :]),
-                      axis=-1)
-    # empty suffix (u beyond cdf[-1]): clamp to the last edge, matching
-    # torch.clamp(inds, max=n-1) semantics
-    cdf_g1 = jnp.minimum(cdf_g1, cdf[..., -1:])
-    bins_g1 = jnp.minimum(bins_g1, existing_bins[..., -1:])
+    # TPU-first.  Two bit-identical implementations (adversarial
+    # equivalence locked by tests/test_samplers.py::
+    # test_pdf_onehot_formulation_bit_identical):
+    # - "reduce": {j : cdf_j <= u} is a PREFIX of the sorted cdf, so the
+    #   gathered values are prefix-maxima / suffix-minima of one compare
+    #   matrix — four masked VPU reductions.  take_along_axis gathers
+    #   are ~500x slower on TPU (measured), hence no direct gather.
+    # - "onehot": ONE compare+sum pass gives the searchsorted index;
+    #   the four gathered values then come from a single batched
+    #   one-hot einsum that runs on the MXU instead of three more VPU
+    #   reduction passes (values are exact copies at HIGHEST precision).
+    if PDF_GATHER_IMPL == "onehot":
+        S1 = cdf.shape[-1]
+        idx = jnp.sum((cdf[..., None, :] <= u[..., :, None])
+                      .astype(jnp.float32), axis=-1) - 1.0  # (R,U) in [0,S]
+        nxt = lambda a: jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+        pack = jnp.stack([cdf, existing_bins, nxt(cdf),
+                          nxt(existing_bins)], axis=-1)  # (R, S+1, 4)
+        onehot = (idx[..., None]
+                  == jax.lax.broadcasted_iota(jnp.float32, (1, 1, S1), 2)
+                  ).astype(jnp.float32)  # (R, U, S+1)
+        vals = jnp.einsum("rus,rsk->ruk", onehot, pack,
+                          precision=jax.lax.Precision.HIGHEST)
+        cdf_g0, bins_g0 = vals[..., 0], vals[..., 1]
+        # *_next pre-shifted with an end clamp, so idx+1 with the
+        # torch.clamp(inds, max=n-1) semantics is a plain idx-gather
+        cdf_g1, bins_g1 = vals[..., 2], vals[..., 3]
+    else:
+        compare = cdf[..., None, :] <= u[..., :, None]  # (R, U, S+1)
+        big = jnp.float32(2.0)  # all cdf/bins values are in [0, 1]
+        cdf_g0 = jnp.max(jnp.where(compare, cdf[..., None, :], -big),
+                         axis=-1)
+        bins_g0 = jnp.max(jnp.where(compare, existing_bins[..., None, :],
+                                    -big), axis=-1)
+        cdf_g1 = jnp.min(jnp.where(compare, big, cdf[..., None, :]),
+                         axis=-1)
+        bins_g1 = jnp.min(jnp.where(compare, big,
+                                    existing_bins[..., None, :]), axis=-1)
+        # empty suffix (u beyond cdf[-1]): clamp to the last edge
+        cdf_g1 = jnp.minimum(cdf_g1, cdf[..., -1:])
+        bins_g1 = jnp.minimum(bins_g1, existing_bins[..., -1:])
 
     denom = cdf_g1 - cdf_g0
     t = jnp.clip(jnp.nan_to_num(jnp.where(denom > 0, (u - cdf_g0) /

@@ -82,65 +82,17 @@ def pdf_sample_packed(ray_bundle, ray_samples, weights, spacing,
     return get_ray_samples(ray_bundle, euclidean_bins, bins)
 
 
-def pdf_sample_onehot(ray_bundle, ray_samples, weights, spacing,
-                      num_samples, key=None):
-    """pdf_sample with the searchsorted reformulated as count + one-hot
-    MATMUL gather (r4): idx_j = #{k: cdf_k <= u_j} - 1 needs ONE
-    compare+sum pass over (R, U, S+1); the four gathered values
-    (cdf/bins at idx and idx+1) then come from a single batched
-    one-hot einsum that runs on the MXU instead of three more VPU
-    masked-reduction passes.  Gathered values are exact copies (one-hot
-    matmul at HIGHEST precision), so results stay bit-identical."""
-    from rsn.core.sampling import EPS, HISTOGRAM_PADDING
-    from rsn.core.spacing import spacing_to_euclidean
-    from rsn.core.rays import get_ray_samples
-
-    num_bins = num_samples + 1
-    w = weights[..., 0] + HISTOGRAM_PADDING
-    w_sum = jnp.sum(w, axis=-1, keepdims=True)
-    padding = jax.nn.relu(EPS - w_sum)
-    w = w + padding / w.shape[-1]
-    w_sum = w_sum + padding
-    pdf = w / w_sum
-    cdf = jnp.minimum(1.0, jnp.cumsum(pdf[..., :-1], axis=-1))
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf,
-                           jnp.ones_like(cdf[..., :1])], axis=-1)
-    u = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins)
-    u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_bins,))
-    if key is not None:
-        u = u + jax.random.uniform(
-            key, cdf.shape[:-1] + (num_bins,)) / num_bins
-    else:
-        u = u + 1.0 / (2 * num_bins)
-    existing_bins = jnp.concatenate([
-        ray_samples.spacing_starts[..., 0],
-        ray_samples.spacing_ends[..., -1:, 0]], axis=-1)
-
-    S1 = cdf.shape[-1]
-    # one compare+sum pass: position of u_j in the sorted cdf
-    idx = jnp.sum((cdf[..., None, :] <= u[..., :, None])
-                  .astype(jnp.float32), axis=-1) - 1.0  # (R, U), in [0, S]
-    # pack the four gather targets; *_next pre-shifted so idx+1 with the
-    # end clamp becomes a plain idx-gather
-    nxt = lambda a: jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
-    pack = jnp.stack([cdf, existing_bins, nxt(cdf), nxt(existing_bins)],
-                     axis=-1)  # (R, S+1, 4)
-    onehot = (idx[..., None]
-              == jax.lax.broadcasted_iota(jnp.float32, (1, 1, S1), 2)
-              ).astype(jnp.float32)  # (R, U, S+1)
-    vals = jnp.einsum("rus,rsk->ruk", onehot, pack,
-                      precision=jax.lax.Precision.HIGHEST)
-    cdf_g0, bins_g0 = vals[..., 0], vals[..., 1]
-    cdf_g1, bins_g1 = vals[..., 2], vals[..., 3]
-
-    denom = cdf_g1 - cdf_g0
-    t = jnp.clip(jnp.nan_to_num(jnp.where(denom > 0, (u - cdf_g0) /
-                                          jnp.where(denom > 0, denom, 1.0),
-                                          0.0)), 0.0, 1.0)
-    bins = bins_g0 + t * (bins_g1 - bins_g0)
-    bins = jax.lax.stop_gradient(bins)
-    euclidean_bins = spacing_to_euclidean(spacing, ray_bundle, bins)
-    return get_ray_samples(ray_bundle, euclidean_bins, bins)
+def pdf_sample_onehot(*args, **kw):
+    """pdf_sample with the count + one-hot MXU-matmul searchsorted
+    (rsn/core/sampling.py PDF_GATHER_IMPL="onehot"); bit-identical to
+    the reduce form (tests/test_samplers.py)."""
+    from rsn.core import sampling
+    old = sampling.PDF_GATHER_IMPL
+    sampling.PDF_GATHER_IMPL = "onehot"
+    try:
+        return sampling.pdf_sample(*args, **kw)
+    finally:
+        sampling.PDF_GATHER_IMPL = old
 
 
 def main():
