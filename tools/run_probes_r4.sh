@@ -12,6 +12,10 @@ echo "=== train budget: preset propreflect ($(date +%T)) ==="
 timeout 1800 python tools/exp_budget.py --propreflect
 echo "=== train budget: parity ($(date +%T)) ==="
 timeout 1800 python tools/exp_budget.py --parity
+echo "=== pdf variants at render shape ($(date +%T)) ==="
+timeout 1800 python tools/exp_pdf_variants.py 16384
+echo "=== render profile: parity ($(date +%T)) ==="
+timeout 1800 python tools/exp_render_profile.py
 echo "=== compaction sweep ($(date +%T)) ==="
 timeout 2400 python tools/exp_compaction_sweep.py
 echo "=== DONE ($(date +%T)) ==="
