@@ -31,7 +31,9 @@ def test_dryrun_multichip_survives_poisoned_env():
         [sys.executable, os.path.join(REPO, "__graft_entry__.py"), "4"],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
-    assert "dryrun_multichip(4): OK" in res.stdout
+    # r4: the dryrun certifies BOTH shipped configs (parity + preset)
+    assert "dryrun_multichip(4)[parity]: OK" in res.stdout
+    assert "dryrun_multichip(4)[preset]: OK" in res.stdout
 
 
 def test_force_cpu_env_recipe():
