@@ -57,7 +57,17 @@ class BugCompat:
     """Replicate-vs-fix switches for the reference's quirks (SURVEY.md App B)."""
     sh_l8_m7_2x: bool = True          # B#1: l=8 m=+-7 SH coeffs 2x
     reflect_near_zero: bool = True    # B#2: reflected rays start at surface
-    tint_random_background: bool = True  # renderer_factor default bg
+    # r4 CORRECTION: nerfstudio's RGBRenderer default bg "random"
+    # (reference renderer_factor, reflect_sampling_nerf_model.py:123)
+    # returns the composite WITHOUT blending at combine time ("as if
+    # the background color was black") — random blending exists only
+    # in blend_background_for_loss_computation, which the reference
+    # routes through the WHITE renderer_rgb.  r1-r3 mis-replicated
+    # this as an actual per-ray random blend, injecting (1-acc)-scaled
+    # uniform noise into the tint composite at train AND eval —
+    # measured −5 dB of pure speckle on the shinyfloor product image.
+    # True reference semantics = False (no background term on tint).
+    tint_random_background: bool = False
     depth_method: str = "median"      # B#9
 
 

@@ -5,9 +5,12 @@ reflect_sampling_nerf_model.py:117-124:
 
 - `render_rgb`       — RGBRenderer: weighted sum + background blending;
                        background may be a fixed color, per-ray colors, or
-                       "random" (the reference's renderer_factor for tint
-                       uses nerfstudio's default random background — a
-                       replicated quirk, driven here by an explicit key).
+                       "random" (an actual per-ray random blend, kept for
+                       ablation only — r4 correction: nerfstudio's
+                       combine-time "random" default returns the composite
+                       UNBLENDED; the reference's tint composite therefore
+                       has NO background term, see configs.BugCompat.
+                       tint_random_background).
 - `render_accumulation` — AccumulationRenderer.
 - `render_depth_median` / `render_depth_expected` — DepthRenderer
                        (reference uses the nerfstudio default "median",
