@@ -147,6 +147,23 @@ def test_eval_mode_deterministic(setup):
                                np.asarray(o1["pred_normals_fine"]))
 
 
+def test_eval_is_key_independent(setup):
+    """At eval the ENTIRE forward must be key-independent: samplers use
+    deterministic midpoints and (r4 tint-background correction, PARITY
+    B#12) no composite blends random noise.  DIFFERENT keys must give
+    bit-identical products — the lock against any stochastic term
+    sneaking back into the product image (the r1-r3 tint noise cost a
+    measured −5 dB of eval speckle)."""
+    params, rb, _ = setup
+    f = jax.jit(lambda p, r, k: M.get_outputs(p, r, k, CFG, False))
+    o1 = f(params, rb, jax.random.PRNGKey(0))
+    o2 = f(params, rb, jax.random.PRNGKey(12345))
+    for k in ("mid_rgb_fine", "mid_reflect_fine", "tint", "diff",
+              "depth_fine", "roughness"):
+        np.testing.assert_array_equal(np.asarray(o1[k]),
+                                      np.asarray(o2[k]), err_msg=k)
+
+
 def test_grads_finite_all_params(setup):
     params, rb, _ = setup
 
