@@ -27,8 +27,13 @@ EPS = 1e-5
 
 # searchsorted+gather implementation: "reduce" (4 masked VPU
 # reductions) or "onehot" (count + one-hot MXU einsum).  Bit-identical
-# (tests/test_samplers.py); the default is chosen by TPU timing
-# (tools/exp_pdf_variants.py).
+# (tests/test_samplers.py).  r4 TPU timing (tools/exp_pdf_variants.py,
+# v5e): reduce WINS at every shape — render-shape fine (R=16384,
+# S=128) 1.87 ms vs one-hot 3.36 ms / packed-pair 5.88 ms; train shape
+# 0.06 vs 0.21 ms.  XLA already fuses the four masked reductions into
+# one pass over the compare matrix; the one-hot variant materializes
+# the (R, U, S+1) one-hot for the MXU and loses on bandwidth.  Kept as
+# a switch so the negative result is reproducible, not retried.
 PDF_GATHER_IMPL = "reduce"
 
 
