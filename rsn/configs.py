@@ -161,6 +161,16 @@ class ModelConfig:
     #                     accumulators (139k vs 73k rays/s/chip XLA)
     use_pallas_train: bool = True
     use_pallas: bool = True
+    #   use_pallas_proposal: fused proposal-density kernel on the
+    #   eval/render path (rsn/kernels/proposal_pallas.py).  Default OFF
+    #   — measured NEGATIVE on v5e (r4): the preset render is 37.8 ms
+    #   with the XLA proposal vs 40.4 ms with the kernel (same-process
+    #   A/B, tools/exp_prop_kernel_ab.py).  The standalone
+    #   component probe charged the proposal 4.7 ms, but in the full
+    #   program XLA fuses the tiny MLP into surrounding ops; the
+    #   kernel's extra prep + launch boundaries cost more than they
+    #   save.  Kept switchable so the result is reproducible.
+    use_pallas_proposal: bool = False
     #   use_pallas_acts:  with use_pallas_train, spill the trunk
     #                     activations from the fused forward (v6) and
     #                     run the recompute-free backward (v5) —

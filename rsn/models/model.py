@@ -281,11 +281,23 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
     if use_prop:
         from rsn.models import proposal as proposal_lib
 
+        def prop_density(rs):
+            """Proposal density: fused Pallas kernel on the eval/render
+            path (r4: the XLA composition charged ~4.7 of 37.8 ms of
+            the preset render to this tiny MLP's unfused pipeline —
+            tools/exp_render_budget.py); XLA composition under
+            training for autodiff."""
+            if fcfg.use_pallas and cfg.use_pallas_proposal and not training:
+                from rsn.kernels.proposal_pallas import (
+                    proposal_density_kernel)
+                return proposal_density_kernel(
+                    prop_params, rs, interpret=fcfg.pallas_interpret)
+            return proposal_lib.proposal_density(prop_params, rs)
+
         rs_uniform = spaced_sample(ray_bundle, uniform,
                                    cfg.num_proposal_samples,
                                    key=strat(k_uni))
-        w_prop = rs_uniform.get_weights(
-            proposal_lib.proposal_density(prop_params, rs_uniform))
+        w_prop = rs_uniform.get_weights(prop_density(rs_uniform))
         c = None
         coarse_weights = sg(w_prop)
         sampling_weights = coarse_weights
@@ -523,8 +535,7 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         # proposal field (proposal.py:115; ADVICE r2).  Proposal-param
         # gradients still flow.
         rs_recip_sg = jax.tree.map(jax.lax.stop_gradient, rs_recip)
-        w_refl_prop = rs_recip_sg.get_weights(
-            proposal_lib.proposal_density(prop_params, rs_recip_sg))
+        w_refl_prop = rs_recip_sg.get_weights(prop_density(rs_recip_sg))
         w_refl_coarse = sg(w_refl_prop)
         refl_sampling_weights = w_refl_coarse
         if prop_anneal is not None:
