@@ -25,7 +25,7 @@ from rsn.core.spacing import Spacing, spacing_to_euclidean
 HISTOGRAM_PADDING = 0.01
 EPS = 1e-5
 
-# searchsorted+gather implementation: "reduce" (4 masked VPU
+# Default searchsorted+gather implementation: "reduce" (4 masked VPU
 # reductions) or "onehot" (count + one-hot MXU einsum).  Bit-identical
 # (tests/test_samplers.py).  r4 TPU timing (tools/exp_pdf_variants.py,
 # v5e): reduce WINS at every shape — render-shape fine (R=16384,
@@ -33,19 +33,23 @@ EPS = 1e-5
 # 0.06 vs 0.21 ms.  XLA already fuses the four masked reductions into
 # one pass over the compare matrix; the one-hot variant materializes
 # the (R, U, S+1) one-hot for the MXU and loses on bandwidth.  Kept as
-# a switch so the negative result is reproducible, not retried.
+# an explicit per-call argument (NOT a mutable global read at trace
+# time, ADVICE r4) so the negative result is reproducible, not retried.
 PDF_GATHER_IMPL = "reduce"
 
 
 def pdf_sample(ray_bundle: RayBundle, ray_samples: RaySamples,
                weights: jax.Array, spacing: Spacing, num_samples: int,
                key: Optional[jax.Array] = None,
-               single_jitter: bool = False) -> RaySamples:
+               single_jitter: bool = False,
+               impl: str = PDF_GATHER_IMPL) -> RaySamples:
     """Resample `num_samples` bins per ray from coarse `weights`.
 
     Args:
       weights: (R, S, 1) compositing weights of the existing samples.
       key: PRNG key for stratified jitter (None => eval midpoints).
+      impl: gather formulation, "reduce" (default, fastest measured) or
+        "onehot" — static per call; bit-identical results.
     """
     num_bins = num_samples + 1
     w = weights[..., 0] + HISTOGRAM_PADDING  # (R, S)
@@ -88,7 +92,7 @@ def pdf_sample(ray_bundle: RayBundle, ray_samples: RaySamples,
     #   the four gathered values then come from a single batched
     #   one-hot einsum that runs on the MXU instead of three more VPU
     #   reduction passes (values are exact copies at HIGHEST precision).
-    if PDF_GATHER_IMPL == "onehot":
+    if impl == "onehot":
         S1 = cdf.shape[-1]
         idx = jnp.sum((cdf[..., None, :] <= u[..., :, None])
                       .astype(jnp.float32), axis=-1) - 1.0  # (R,U) in [0,S]

@@ -74,6 +74,10 @@ def load_checkpoint(path: str, abstract_state: Any = None) -> Dict[str, Any]:
 
 
 def _find_key(tree, key):
+    if isinstance(tree, (str, bytes)):
+        # a string leaf iterates into itself (1-char strings infinitely);
+        # never a container we want to descend (ADVICE r4)
+        return None
     if isinstance(tree, dict):
         if key in tree:
             return tree[key]

@@ -108,6 +108,17 @@ def test_legacy_per_leaf_checkpoint_migrates_on_restore(tmp_path):
     assert int(tr.state.step) == cfg.max_num_iterations
 
 
+def test_find_key_tolerates_string_leaves():
+    """checkpoint_is_legacy's metadata walk must not recurse into
+    string leaves (iterating a 1-char string yields itself forever);
+    orbax metadata trees may grow string leaves across versions
+    (ADVICE r4)."""
+    from rsn.engine.checkpoints import _find_key
+    tree = {"opt_state": ["x", ("y", {"note": "s", "mu": 7}), b"raw"]}
+    assert _find_key(tree, "mu") == 7
+    assert _find_key({"a": "deadend"}, "mu") is None
+
+
 def test_warmup_coefficients_traced():
     c0 = loss_coefficients_traced(jnp.int32(0))
     c100 = loss_coefficients_traced(jnp.int32(100))

@@ -84,15 +84,10 @@ def pdf_sample_packed(ray_bundle, ray_samples, weights, spacing,
 
 def pdf_sample_onehot(*args, **kw):
     """pdf_sample with the count + one-hot MXU-matmul searchsorted
-    (rsn/core/sampling.py PDF_GATHER_IMPL="onehot"); bit-identical to
-    the reduce form (tests/test_samplers.py)."""
+    (rsn/core/sampling.py impl="onehot"); bit-identical to the reduce
+    form (tests/test_samplers.py)."""
     from rsn.core import sampling
-    old = sampling.PDF_GATHER_IMPL
-    sampling.PDF_GATHER_IMPL = "onehot"
-    try:
-        return sampling.pdf_sample(*args, **kw)
-    finally:
-        sampling.PDF_GATHER_IMPL = old
+    return sampling.pdf_sample(*args, **kw, impl="onehot")
 
 
 def main():
