@@ -40,11 +40,22 @@ def main(argv=None) -> int:
             "--multihost": dict(action="store_true", dest="multihost",
                                 help="call jax.distributed.initialize() "
                                      "for multi-host pods (coordinator "
-                                     "env vars per JAX docs)"),
+                                     "autodetected on TPU/Slurm/OMPI, or "
+                                     "pass the three flags below)"),
+            "--coordinator-address": dict(
+                type=str, default=None, dest="coordinator_address",
+                help="host:port of process 0 (generic launchers)"),
+            "--num-processes": dict(type=int, default=None,
+                                    dest="num_processes"),
+            "--process-id": dict(type=int, default=None,
+                                 dest="process_id"),
         }, base=base)
     if extras.multihost:
         import jax
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=extras.coordinator_address,
+            num_processes=extras.num_processes,
+            process_id=extras.process_id)
     if extras.data:
         from rsn.utils.cli import apply_overrides
         cfg = apply_overrides(cfg, {"pipeline.datamanager.data": extras.data})

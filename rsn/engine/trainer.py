@@ -408,10 +408,22 @@ def render_image(params, cameras: Cameras, camera_index: int,
                 and mcfg.eval_reflect_ray_fraction >= 1.0)
     state_key = (mcfg, chunk, mesh_key)
     frac = _EVAL_REFLECT_STATE.get(state_key, 1.0) if adaptive else 1.0
+
+    def fetch(tree):
+        """device_get, crossing process boundaries when the mesh spans
+        multiple hosts (ray shards live on remote processes there)."""
+        if mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return jax.tree.map(
+                lambda x: np.asarray(
+                    multihost_utils.process_allgather(x, tiled=True)),
+                tree)
+        return jax.device_get(tree)
+
     while True:
         mcfg_b = (mcfg if frac >= 1.0 else dataclasses.replace(
             mcfg, eval_reflect_ray_fraction=frac))
-        stacked = jax.device_get(run_with(mcfg_b))
+        stacked = fetch(run_with(mcfg_b))
         overflow = stacked.pop("_overflow", None)
         mask_arr = stacked.pop("_mask", None)
         if not adaptive:
@@ -458,15 +470,27 @@ class Trainer:
         except FileNotFoundError:
             self.eval_ds = self.train_ds
 
+        # multi-process (multi-host) support: rank 0 owns logging and
+        # sidecar files; checkpoint saves are collective (orbax) so all
+        # ranks must agree on the run dir (SURVEY §2.5: the reference's
+        # DDP launcher plumbs world_size/local_rank the same way,
+        # reflect_sampling_nerf_pipeline.py:50-51)
+        self._is_primary = jax.process_index() == 0
         if run_dir is None:
-            ts = time.strftime("%Y-%m-%d_%H%M%S")
+            t = time.time()
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                t = float(multihost_utils.broadcast_one_to_all(
+                    np.float64(t)))
+            ts = time.strftime("%Y-%m-%d_%H%M%S", time.localtime(t))
             run_dir = os.path.join(config.output_dir,
                                    config.experiment_name,
                                    config.method_name, ts)
         self.run_dir = run_dir
         self.ckpt_dir = os.path.join(run_dir, "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
-        ckpt_lib.dump_config(run_dir, config)
+        if self._is_primary:
+            ckpt_lib.dump_config(run_dir, config)
 
         self.mesh = mesh_lib.make_mesh(config.num_devices)
         self.num_devices = self.mesh.devices.size
@@ -512,8 +536,27 @@ class Trainer:
         self.images = jnp.asarray(self.train_ds.images)
         self.cameras = self.train_ds.cameras
         self.eval_images = jnp.asarray(self.eval_ds.images)
+        self.eval_cameras = self.eval_ds.cameras
+        if self.num_devices > 1:
+            # a (possibly multi-process) shard_map mesh needs
+            # committed-GLOBAL inputs — process-local arrays cannot be
+            # auto-resharded across processes.  Replicate once here.
+            rep = mesh_lib.replicated(self.mesh)
+
+            def put(tree):
+                return jax.tree.map(
+                    lambda x: jax.device_put(x, rep)
+                    if isinstance(x, jax.Array) else x, tree)
+
+            self.state = put(self.state)
+            self.images = put(self.images)
+            self.cameras = put(self.cameras)
+            self.eval_images = put(self.eval_images)
+            self.eval_cameras = put(self.eval_cameras)
         self._eval_step_fn = jax.jit(make_eval_batch_step(config))
-        self._log_file = open(os.path.join(run_dir, "train_log.jsonl"), "a")
+        self._log_file = (
+            open(os.path.join(run_dir, "train_log.jsonl"), "a")
+            if self._is_primary else None)
         self._tb = None
         if config.vis == "tensorboard":
             try:
@@ -697,6 +740,8 @@ class Trainer:
         self._restore_controller_state(os.path.dirname(path))
 
     def _log(self, step: int, metrics: Dict[str, float]) -> None:
+        if self._log_file is None:  # non-primary rank
+            return
         self._log_file.write(json.dumps({"step": step, **metrics}) + "\n")
         self._log_file.flush()
         if self._tb is not None:
@@ -712,7 +757,7 @@ class Trainer:
 
         idx = self._eval_image_cursor % self.eval_ds.cameras.num_cameras
         self._eval_image_cursor += 1
-        out = render_image(self.state.params, self.eval_ds.cameras, idx,
+        out = render_image(self.state.params, self.eval_cameras, idx,
                            self.config,
                            rays_per_chunk=preferred_eval_chunk(self.config),
                            mesh=self.mesh if self.num_devices > 1 else None,
@@ -731,13 +776,15 @@ class Trainer:
             m["coarse_psnr"] = float(metrics_lib.psnr(
                 jnp.asarray(coarse), jnp.asarray(gt)))
         m["psnr"] = m["fine_psnr"]
-        img_dir = os.path.join(self.run_dir, "eval_images")
-        os.makedirs(img_dir, exist_ok=True)
-        mcfg = self.config.pipeline.model
-        panels = render_panels(out, gt, mcfg.collider_near_plane,
-                               mcfg.collider_far_plane)
-        for name, img in panels.items():
-            save_png(os.path.join(img_dir, f"{step:09d}-{name}.png"), img)
+        if self._is_primary:
+            img_dir = os.path.join(self.run_dir, "eval_images")
+            os.makedirs(img_dir, exist_ok=True)
+            mcfg = self.config.pipeline.model
+            panels = render_panels(out, gt, mcfg.collider_near_plane,
+                                   mcfg.collider_far_plane)
+            for name, img in panels.items():
+                save_png(os.path.join(img_dir, f"{step:09d}-{name}.png"),
+                         img)
         return m
 
     def _next_chunk(self, step: int, max_steps: int) -> int:
@@ -813,31 +860,36 @@ class Trainer:
                 dt = time.time() - t0
                 line = {"rays_per_sec": rays / dt, **metrics}
                 self._log(step, line)
-                print(f"step {step}: loss={metrics['total_loss']:.4f} "
-                      f"({rays/dt:,.0f} rays/s)", flush=True)
+                if self._is_primary:
+                    print(f"step {step}: loss={metrics['total_loss']:.4f} "
+                          f"({rays/dt:,.0f} rays/s)", flush=True)
                 last_metrics = metrics
             if hit(cfg.steps_per_eval_batch):
                 em = jax.device_get(self._eval_step_fn(
-                    self.state, self.eval_images, self.eval_ds.cameras,
+                    self.state, self.eval_images, self.eval_cameras,
                     jax.random.fold_in(eval_key, step)))
                 self._log(step, {k: float(v) for k, v in em.items()})
             if hit(cfg.steps_per_eval_image):
                 m = self._eval_image(step)
                 self._log(step,
                           {f"eval_image_{k}": v for k, v in m.items()})
-                print(f"step {step}: eval image psnr={m['psnr']:.2f}",
-                      flush=True)
+                if self._is_primary:
+                    print(f"step {step}: eval image psnr={m['psnr']:.2f}",
+                          flush=True)
             if hit(cfg.steps_per_save) or step == max_steps:
                 extra = {
                     name: getattr(self.state, name)
                     for name in ("camera", "camera_opt_state", "proposal",
                                  "proposal_opt_state")
                     if getattr(self.state, name) is not None}
+                # collective across processes (every rank participates;
+                # the state is fully replicated so any rank holds it all)
                 ckpt_lib.save_checkpoint(self.ckpt_dir, step,
                                          self.state.params,
                                          self.state.opt_state,
                                          extra or None)
-                self._save_controller_state(step)
+                if self._is_primary:
+                    self._save_controller_state(step)
         return last_metrics
 
     def _controller_state_path(self, ckpt_dir: str) -> str:
