@@ -361,6 +361,11 @@ def load_dataset(parser: str, data_dir: str, split: str,
                 kw["num_cameras"] = int(v)
             elif k == "res":
                 kw["H"] = kw["W"] = int(v)
+            elif k == "extrap":
+                # extrapolated-view eval: non-train splits use cameras
+                # OUTSIDE the training elevation band ("hi" | "lo",
+                # synthetic.EXTRAP_BANDS)
+                kw["extrap"] = v
             else:
                 raise ValueError(f"unknown synthetic-scene option: {item}")
         return make_synthetic_dataset(split=split, scene=scene or "sphere",

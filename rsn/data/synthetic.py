@@ -381,9 +381,24 @@ def _render_glossy(pose: np.ndarray, H: int, W: int,
     return img.astype(np.float32)
 
 
+# Extrapolated-view eval bands (VERDICT r4 #4): eval cameras OUTSIDE
+# the training elevation band, so a primary-only model's
+# view-dependent-texture explanation of reflections must EXTRAPOLATE
+# in elevation (interpolation is exactly what the saturation analysis,
+# BASELINE.md r4, showed it exploits), while geometry-based reflected
+# resampling (reflect_sampling_nerf_model.py:267-339) transfers by
+# construction.  "hi" sits ABOVE the shinyfloor training band
+# (z in [1.4, 3.0] on the radius-4 sphere, elev 20.5-48.6 deg):
+# z in [3.2, 3.7] = elev 53-67.5 deg — chosen over a below-band
+# ("lo") split for the default because grazing views re-introduce the
+# sub-texel floor aliasing confound FLOOR_CAM_Z exists to avoid.
+EXTRAP_BANDS = {"hi": (3.45, 0.25), "lo": (0.85, 0.30)}
+
+
 def make_synthetic_dataset(num_cameras: int = 12, H: int = 64, W: int = 64,
                            split: str = "train",
-                           scene: str = "sphere") -> Dataset:
+                           scene: str = "sphere",
+                           extrap: str = "") -> Dataset:
     import jax.numpy as jnp
 
     render = {"sphere": _render_sphere, "triple": _render_triple,
@@ -396,6 +411,8 @@ def make_synthetic_dataset(num_cameras: int = 12, H: int = 64, W: int = 64,
     # shinyfloor: steeper ring + supersampled (prefiltered) GT — see
     # FLOOR_CAM_Z / FLOOR_SSAA comments above
     z_mid, z_amp = (FLOOR_CAM_Z if scene == "shinyfloor" else (1.2, 0.8))
+    if extrap and split != "train":
+        z_mid, z_amp = EXTRAP_BANDS[extrap]
     ss = FLOOR_SSAA if scene == "shinyfloor" else 1
     images, poses = [], []
     for i in range(num_cameras):

@@ -216,6 +216,31 @@ def test_synthetic_scene_selection_via_data_field():
         load_dataset("synthetic", "specular:bogus=1", "train")
 
 
+def test_extrapolated_eval_band_outside_training_band():
+    """extrap=hi|lo: the eval split's camera elevations must sit
+    strictly OUTSIDE the training band (VERDICT r4 #4 — the
+    saturation-breaking benchmark: primary-only view-dependent texture
+    must extrapolate in elevation, geometry-based reflected resampling
+    transfers by construction)."""
+    from rsn.data.blender import load_dataset
+
+    train = load_dataset("synthetic",
+                         "shinyfloor:cams=6,res=24,extrap=hi", "train")
+    ev = load_dataset("synthetic",
+                      "shinyfloor:cams=6,res=24,extrap=hi", "test")
+    lo = load_dataset("synthetic",
+                      "shinyfloor:cams=6,res=24,extrap=lo", "test")
+    z = lambda ds: np.asarray(ds.cameras.camera_to_worlds)[:, 2, 3]
+    # train band unchanged by the flag (z in [1.4, 3.0] for shinyfloor)
+    assert z(train).min() >= 1.3 and z(train).max() <= 3.1
+    assert z(ev).min() > z(train).max() + 0.1  # hi: strictly above
+    assert z(lo).max() < z(train).min() - 0.2  # lo: strictly below
+    # all eyes still on the radius-4 sphere (same distance to scene)
+    eye = np.asarray(ev.cameras.camera_to_worlds)[:, :3, 3]
+    np.testing.assert_allclose(np.linalg.norm(eye, axis=1), 4.0,
+                               rtol=1e-5)
+
+
 def test_nerfstudio_format_loader(tmp_path):
     """Real-capture loader: per-frame intrinsics, train/eval split."""
     import json
