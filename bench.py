@@ -176,10 +176,14 @@ def main() -> None:
 
     # select the PRODUCT image (final_rgb = mid_reflect_fine): selecting
     # mid_rgb_fine would let XLA DCE the whole reflected computation and
-    # inflate the number ~1.5x (same trap as the train-step timing note)
+    # inflate the number ~1.5x (same trap as the train-step timing note).
+    # need_coarse_rgb=False = the product-render path rsn-render/viewer
+    # actually take (density-only coarse; bit-identical product image,
+    # tests/test_model_kernel_glue.py)
     mcfg_r = settle_render_cfg(mcfg, None)
     render = jax.jit(lambda p, b, k: model_lib.final_rgb(
-        model_lib.get_outputs(p, b, k, mcfg_r, training=False)))
+        model_lib.get_outputs(p, b, k, mcfg_r, training=False,
+                              need_coarse_rgb=False)))
     render_rays_s = measure(
         "parity_render", lambda: R / time_fn(render, params, bundle, key))
 

@@ -358,9 +358,12 @@ def main(argv=None) -> int:
             cams.num_cameras, ns.max_images)
         frames = []
         for i in range(n):
+            # camera-path products consume only final_rgb: density-only
+            # coarse pass (output-aware render, VERDICT r4 #2)
             out = render_image(params, cams, i, config, mesh=mesh,
                                prop_params=extras.get("proposal"),
-                               rays_per_chunk=preferred_eval_chunk(config))
+                               rays_per_chunk=preferred_eval_chunk(config),
+                               product_only=True)
             from rsn.models.model import final_rgb
             frame = np.clip(final_rgb(out), 0, 1)
             save_png(os.path.join(out_dir, f"frame_{i:05d}.png"), frame)

@@ -183,10 +183,13 @@ def _render_pose(theta: float, phi: float, r: float, mode: str,
         fx=ref.fx[:1], fy=ref.fy[:1], cx=ref.cx[:1], cy=ref.cy[:1],
         width=ref.width, height=ref.height)
     with _State.lock:  # one render at a time (single chip)
+        # the viewer shows final_rgb / depth overlays only: density-only
+        # coarse pass (output-aware render, VERDICT r4 #2)
         out = render_image(_State.params, cams, 0, _State.config,
                            prop_params=_State.proposal,
                            rays_per_chunk=preferred_eval_chunk(
-                               _State.config))
+                               _State.config),
+                           product_only=True)
     mcfg = _State.config.pipeline.model
     if mode == "depth":
         img = apply_depth_colormap(out["depth_fine"],

@@ -184,6 +184,46 @@ def _weights_from_planes(out_planes, ray_samples):
     return weights_planes(dens, deltas)
 
 
+def _density_pass(params: Params, ray_samples, fcfg: FieldConfig):
+    """Density-only coarse field eval (output-aware coarse, VERDICT r4
+    #2): when the caller consumes no coarse rgb (product-image renders:
+    rsn-render orbit/path/video, the viewer), the coarse pass feeds
+    ONLY the PDF resampler + accumulation/depth — all functions of
+    density — so the heads matmul, mid branch, and their serial VPU
+    tail are skipped entirely.  -> (R, S) compositing-weight planes,
+    bit-identical to the full path's weights (same IPE/trunk/density
+    column on the kernel path; same get_density on the XLA path)."""
+    if fcfg.use_pallas:
+        from rsn.core.contract import packed_contract_planes
+        from rsn.kernels import field_pallas as fp
+
+        R, S = ray_samples.starts.shape[0], ray_samples.starts.shape[1]
+        base_tile = 64 if fcfg.pallas_interpret else 4096
+        rays_per_tile = max(8, base_tile // S)
+        tile = S * rays_per_tile
+        r_pad = -(-R // rays_per_tile) * rays_per_tile
+        mc = jnp.pad(packed_contract_planes(ray_samples, fp.IN_COLS),
+                     ((0, (r_pad - R) * S), (0, 0)))
+        out = fp.field_forward_density(
+            fp.pack_params_density(params), mc, tile,
+            interpret=fcfg.pallas_interpret)[:R * S]
+        dens = jax.nn.softplus(
+            out.reshape(R, S, fp.DENS_COLS)[..., 0].astype(jnp.float32)
+            + field_lib.DENSITY_BIAS)
+        deltas = (ray_samples.ends - ray_samples.starts)[..., 0]
+        return weights_planes(dens, deltas)
+    blob = rays_lib.get_gaussian_blob(ray_samples)
+    mean, cov_diag = contract_blob(blob)
+    # 2D-flatten exactly like get_field_outputs so the density is
+    # BIT-identical to the full path's (3D matmuls accumulate in a
+    # different order)
+    shape = mean.shape[:-1]
+    density, _, _ = field_lib.get_density(
+        params, mean.reshape(-1, 3), cov_diag.reshape(-1, 3), fcfg)
+    return ray_samples.get_weights(
+        density.reshape(*shape, 1))[..., 0]
+
+
 def _primary_pass(params: Params, ray_samples, fcfg: FieldConfig,
                   training: bool, rays_live: bool = True):
     """Shared body of passes 1 & 2: field evals + per-sample heads.
@@ -249,7 +289,8 @@ def _reflect_pass(params: Params, ray_samples, bg_color, fcfg: FieldConfig,
 def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
                 cfg: ModelConfig, training: bool,
                 prop_params=None, prop_anneal=None,
-                rays_live: bool = True) -> Dict[str, jax.Array]:
+                rays_live: bool = True,
+                need_coarse_rgb: bool = True) -> Dict[str, jax.Array]:
     """The 4-pass render. ray_bundle must already be collided.
 
     rays_live: whether ray_bundle's geometry carries live gradients
@@ -316,6 +357,24 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
                                            rs_uniform.starts,
                                            rs_uniform.ends)
         # no coarse rgb in proposal mode: background fill only
+        mid_rgb_coarse = white * (1.0 - accumulation_coarse)
+    elif not training and not need_coarse_rgb:
+        # output-aware coarse (VERDICT r4 #2): the caller consumes no
+        # coarse rgb (need_coarse_rgb=False is only offered by render
+        # paths whose product is final_rgb — rsn-render orbit/path/
+        # video, the viewer, bench's product-image timing), so the
+        # coarse pass runs density-only; mid_rgb_coarse gets the
+        # proposal-mode background fill and must not be consumed.
+        rs_uniform = spaced_sample(ray_bundle, uniform,
+                                   cfg.num_coarse_samples,
+                                   key=strat(k_uni))
+        wS = _density_pass(params, rs_uniform, fcfg)
+        c = None
+        coarse_weights = wS[..., None]
+        sampling_weights = coarse_weights
+        accumulation_coarse = jnp.sum(wS, axis=-1, keepdims=True)
+        depth_coarse = render_depth_median_planes(
+            wS, rs_uniform.starts[..., 0], rs_uniform.ends[..., 0])
         mid_rgb_coarse = white * (1.0 - accumulation_coarse)
     else:
         rs_uniform = spaced_sample(ray_bundle, uniform,
@@ -440,7 +499,7 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
             from rsn.models import proposal as proposal_lib
             outputs["distortion"] = proposal_lib.distortion_per_ray(
                 f["weights"], outputs["fine_spacing_bins"])[..., None]
-    else:
+    elif c is not None:  # density-only coarse emits no per-sample heads
         outputs.update({
             "pred_normals_coarse": c["pred_normals"],
             "normals_coarse": sg(c["normals"]),

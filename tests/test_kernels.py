@@ -29,9 +29,10 @@ def test_pack_params_shapes():
     assert len(packed3) == 22
     assert packed3[18].shape == (256, 128)  # w_emb
     packed3f = fp.pack_params_v3f(params)
-    assert len(packed3f) == 22
-    assert packed3f[16].shape == (256, 128)  # 11-col heads, padded
-    assert packed3f[18].shape == (256, 128)  # w_comb = W_bneck @ W_emb
+    assert len(packed3f) == 20
+    # one wide (256, 256) operand: [11-col heads (padded) | w_comb]
+    assert packed3f[16].shape == (256, 256)
+    assert packed3f[17].shape == (1, 256)
 
 
 def test_ipe_matrices_match_reference_encoding():

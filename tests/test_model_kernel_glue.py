@@ -136,3 +136,32 @@ def test_eval_proposal_kernel_path_matches_xla(setup):
             np.asarray(out_k[k], np.float32),
             np.asarray(out_x[k], np.float32),
             atol=0.05, rtol=0.05, err_msg=k)
+
+
+def test_density_only_coarse_is_bit_identical_downstream(setup):
+    """Output-aware coarse (need_coarse_rgb=False, VERDICT r4 #2): the
+    density-only coarse pass must leave every downstream output BIT-
+    IDENTICAL to the full path — same coarse weights feed the same PDF
+    bins — on both the kernel-glue path and the XLA path.  Only
+    mid_rgb_coarse differs (documented background fill)."""
+    mcfg, params, bundle = setup
+    key = jax.random.PRNGKey(1)
+    for cfg in (dataclasses.replace(mcfg, use_pallas=False),
+                dataclasses.replace(mcfg, compute_dtype="bfloat16",
+                                    pallas_interpret=True)):
+        full = model_lib.get_outputs(params, bundle, key, cfg,
+                                     training=False)
+        dens = model_lib.get_outputs(params, bundle, key, cfg,
+                                     training=False,
+                                     need_coarse_rgb=False)
+        # the density-only coarse emits no per-sample coarse heads
+        # (they exist only for the coarse losses / eval diagnostics)
+        dropped = {"pred_normals_coarse", "normals_coarse",
+                   "n_dot_d_coarse"}
+        assert set(dens) == set(full) - dropped
+        for k in dens:
+            if k == "mid_rgb_coarse":
+                continue  # background fill by contract
+            np.testing.assert_array_equal(
+                np.asarray(dens[k]), np.asarray(full[k]),
+                err_msg=f"{k} ({'kernel' if cfg.use_pallas else 'xla'})")
