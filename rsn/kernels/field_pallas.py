@@ -464,8 +464,8 @@ def _field_half(parts, g_rep, ipe, ws, bs, w_hc, b_hc,
     return (out, hs) if want_acts else out
 
 
-def _field_kernel_halved(want_normals, mc_ref, g_ref, A_ref, bA_ref,
-                         V_ref, M_ref, E_ref, *refs):
+def _field_kernel_halved(want_normals, n_halves, mc_ref, g_ref, A_ref,
+                         bA_ref, V_ref, M_ref, E_ref, *refs):
     if want_normals:
         (w0, w1, w2, w3, w4, w5, w6, w7,
          b0, b1, b2, b3, b4, b5, b6, b7,
@@ -484,11 +484,11 @@ def _field_kernel_halved(want_normals, mc_ref, g_ref, A_ref, bA_ref,
     g_rep = jnp.dot(E_ref[:], g_ref[:],
                     preferred_element_type=jnp.float32)  # (T, 512)
     T = mc_ref.shape[0]
-    H = T // N_HALVES
-    # both halves' VPU-heavy IPE upfront: overlaps half 0's MXU trunk
+    H = T // n_halves
+    # all halves' VPU-heavy IPE upfront: overlaps half 0's MXU trunk
     parts = [_ipe_parts(mc_ref[p * H:(p + 1) * H, :], ipe)
-             for p in range(N_HALVES)]
-    for p in range(N_HALVES):
+             for p in range(n_halves)]
+    for p in range(n_halves):
         out = _field_half(parts[p],
                           g_rep[p * H:(p + 1) * H, :], ipe, ws, bs,
                           w_hc, b_hc, w_out, b_out, wd_row,
@@ -496,14 +496,13 @@ def _field_kernel_halved(want_normals, mc_ref, g_ref, A_ref, bA_ref,
         out_ref[p * H:(p + 1) * H, :] = out.astype(jnp.bfloat16)
 
 
-_kernel_v3 = functools.partial(_field_kernel_halved, False)
-
-
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
-                                               "interpret", "out_cols"))
+                                               "interpret", "out_cols",
+                                               "n_halves"))
 def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
                      samples_per_ray: int, tile: int = DEFAULT_TILE,
-                     interpret: bool = False, out_cols: int = V3_OUT):
+                     interpret: bool = False, out_cols: int = V3_OUT,
+                     n_halves: int = N_HALVES):
     """Full fused field+mid forward.
 
     packed: pack_params_v3f operands (fused bottleneck/mid tail).
@@ -548,7 +547,7 @@ def field_forward_v3(packed, mean_cov: jax.Array, g_bands: jax.Array,
     flops_per_row = 2 * (ENC_PAD * 256 + 3 * 256 * 256 + SKIP_PAD * 256
                          + 3 * 256 * 256 + 2 * 256 * 128 + 128 * 128)
     return pl.pallas_call(
-        _kernel_v3,
+        functools.partial(_field_kernel_halved, False, n_halves),
         grid=grid,
         in_specs=in_specs,
         interpret=interpret,
@@ -673,14 +672,11 @@ def pack_params_v4f(params: Dict[str, Any]):
     return pack_params_v3f(params) + (wd_row,)
 
 
-_kernel_v4 = functools.partial(_field_kernel_halved, True)
-
-
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
-                                               "interpret"))
+                                               "interpret", "n_halves"))
 def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
                      samples_per_ray: int, tile: int = DEFAULT_TILE,
-                     interpret: bool = False):
+                     interpret: bool = False, n_halves: int = N_HALVES):
     """v3 forward + fused analytic-normals gradient.
 
     packed: pack_params_v4f operands.  -> (N, 128) bf16 with the v3
@@ -713,7 +709,7 @@ def field_forward_v4(packed, mean_cov: jax.Array, g_bands: jax.Array,
     flops_per_row = 2 * 2 * (ENC_PAD * 256 + 3 * 256 * 256 + SKIP_PAD * 256
                              + 3 * 256 * 256 + 2 * 256 * 128 + 128 * 128)
     return pl.pallas_call(
-        _kernel_v4,
+        functools.partial(_field_kernel_halved, True, n_halves),
         grid=grid,
         in_specs=in_specs,
         interpret=interpret,
@@ -746,8 +742,9 @@ ACTS_COLS = TRUNK_LAYERS * TRUNK_WIDTH  # 2048
 XACTS_COLS = ACTS_COLS + ENC_PAD  # 2176
 
 
-def _field_kernel_halved_acts(want_normals, spill_x, mc_ref, g_ref, A_ref,
-                              bA_ref, V_ref, M_ref, E_ref, *refs):
+def _field_kernel_halved_acts(want_normals, spill_x, n_halves, mc_ref,
+                              g_ref, A_ref, bA_ref, V_ref, M_ref, E_ref,
+                              *refs):
     if want_normals:
         (w0, w1, w2, w3, w4, w5, w6, w7,
          b0, b1, b2, b3, b4, b5, b6, b7,
@@ -764,10 +761,10 @@ def _field_kernel_halved_acts(want_normals, spill_x, mc_ref, g_ref, A_ref,
     g_rep = jnp.dot(E_ref[:], g_ref[:],
                     preferred_element_type=jnp.float32)  # (T, 512)
     T = mc_ref.shape[0]
-    H = T // N_HALVES
+    H = T // n_halves
     parts = [_ipe_parts(mc_ref[p * H:(p + 1) * H, :], ipe)
-             for p in range(N_HALVES)]
-    for p in range(N_HALVES):
+             for p in range(n_halves)]
+    for p in range(n_halves):
         sl = slice(p * H, (p + 1) * H)
         out, hs = _field_half(parts[p], g_rep[sl, :], ipe, ws, bs,
                               w_hc, b_hc, w_out, b_out, wd_row,
@@ -779,11 +776,11 @@ def _field_kernel_halved_acts(want_normals, spill_x, mc_ref, g_ref, A_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
                                              "want_normals", "interpret",
-                                             "spill_x"))
+                                             "spill_x", "n_halves"))
 def field_forward_v6(packed, mean_cov: jax.Array, g_bands: jax.Array,
                      samples_per_ray: int, tile: int = DEFAULT_TILE,
                      want_normals: bool = False, interpret: bool = False,
-                     spill_x: bool = False):
+                     spill_x: bool = False, n_halves: int = N_HALVES):
     """v3/v4 forward that additionally spills the trunk activations.
 
     packed: pack_params_v3f (want_normals=False) or pack_params_v4f
@@ -824,7 +821,7 @@ def field_forward_v6(packed, mean_cov: jax.Array, g_bands: jax.Array,
                                 + 2 * 256 * 128 + 128 * 128)
     return pl.pallas_call(
         functools.partial(_field_kernel_halved_acts, want_normals,
-                          spill_x),
+                          spill_x, n_halves),
         grid=grid,
         in_specs=in_specs,
         interpret=interpret,

@@ -48,8 +48,8 @@ from rsn.models.field import SKIP_AT, TRUNK_LAYERS
 N_PACKED = 22  # w0..7, b0..7, wh, bh, w_emb, b_mid, w_out, b_out
 
 
-def _bwd_kernel_impl(two_d, has_acts, mc_ref, g_ref, dout_ref, A_ref,
-                     bA_ref, V_ref, M_ref, E_ref, *refs):
+def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
+                     A_ref, bA_ref, V_ref, M_ref, E_ref, *refs):
     if has_acts:
         acts_ref, refs = refs[0], refs[1:]
     else:
@@ -88,17 +88,17 @@ def _bwd_kernel_impl(two_d, has_acts, mc_ref, g_ref, dout_ref, A_ref,
     g_rep = jnp.dot(E_ref[:], g_ref[:],
                     preferred_element_type=jnp.float32)  # (T, 512)
 
-    # interleaved half-tiles (see field_pallas.N_HALVES): both halves'
+    # interleaved half-tiles (see field_pallas.N_HALVES): all halves'
     # IPE front-ends (VPU transcendentals) are issued upfront so they
     # overlap the first half's MXU recompute; the halves' chains are
     # otherwise data-independent and only the wgrad accumulates
     # serialize.
     T = mc_ref.shape[0]
-    H = T // 2
+    H = T // n_halves
     parts = [_ipe_parts(mc_ref[p * H:(p + 1) * H, :], ipe)
-             for p in range(2)]
+             for p in range(n_halves)]
     dg_tot = None
-    for p in range(2):
+    for p in range(n_halves):
         sl = slice(p * H, (p + 1) * H)
         dmc, dg_all, contribs = _bwd_half(
             parts[p], g_rep[sl, :], dout_ref[sl, :], ipe, ws, bs,
@@ -273,12 +273,10 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     return dmc, dg_all, contribs
 
 
-_bwd_kernel = functools.partial(_bwd_kernel_impl, False, False)
-_bwd_kernel_2d = functools.partial(_bwd_kernel_impl, True, False)
-_bwd_kernel_2d_acts = functools.partial(_bwd_kernel_impl, True, True)
+_bwd_kernel = functools.partial(_bwd_kernel_impl, False, False, 2)
 
 
-def _bwd_kernel_noipe(xacts_ref, g_ref, dout_ref, E_ref, *refs):
+def _bwd_kernel_noipe(n_halves, xacts_ref, g_ref, dout_ref, E_ref, *refs):
     """No-IPE backward: x + trunk activations come from the v6 spill
     (spill_x layout, XACTS_COLS), dmc is not computed — no mean_cov
     input, no transcendental work at all."""
@@ -302,9 +300,9 @@ def _bwd_kernel_noipe(xacts_ref, g_ref, dout_ref, E_ref, *refs):
     bs = (b0, b1, b2, b3, b4, b5, b6, b7)
     g_rep = jnp.dot(E_ref[:], g_ref[:], preferred_element_type=jnp.float32)
     T = xacts_ref.shape[0]
-    H = T // 2
+    H = T // n_halves
     dg_tot = None
-    for p in range(2):
+    for p in range(n_halves):
         sl = slice(p * H, (p + 1) * H)
         parts = (xacts_ref[sl, ACTS_COLS:], None, None, None)
         _, dg_all, contribs = _bwd_half(
@@ -390,10 +388,11 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
-                                               "inner", "interpret"))
+                                               "inner", "interpret",
+                                               "n_halves"))
 def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
                       tile: int = 512, inner: int = 16,
-                      interpret: bool = False):
+                      interpret: bool = False, n_halves: int = 2):
     """2D-grid recompute-backward: same math as v3, but the fp32 wgrad
     accumulators live per OUTER grid group ((outer, rows, cols) outputs,
     index_map ignoring the inner dim) and are reduced in XLA afterwards.
@@ -456,7 +455,7 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
     flops_per_row = 3 * 2 * (ENC_PAD * 256 + 7 * 256 * 256 + SKIP_PAD * 256
                              + 256 * OUT_DIM + 256 * 128 + 128 * 128)
     res = pl.pallas_call(
-        _bwd_kernel_2d,
+        functools.partial(_bwd_kernel_impl, True, False, n_halves),
         grid=grid,
         in_specs=in_specs,
         interpret=interpret,
@@ -475,10 +474,11 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
-                                               "inner", "interpret"))
+                                               "inner", "interpret",
+                                               "n_halves"))
 def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
                       samples_per_ray, tile: int = 512, inner: int = 16,
-                      interpret: bool = False):
+                      interpret: bool = False, n_halves: int = 2):
     """Recompute-FREE backward: identical math and grid structure to
     field_backward_v4, but consumes the trunk activations spilled by
     field_pallas.field_forward_v6 (acts: (N, 2048) bf16) instead of
@@ -544,7 +544,7 @@ def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
     flops_per_row = 2 * 2 * (ENC_PAD * 256 + 7 * 256 * 256 + SKIP_PAD * 256
                              + 256 * OUT_DIM + 256 * 128 + 128 * 128)
     res = pl.pallas_call(
-        _bwd_kernel_2d_acts,
+        functools.partial(_bwd_kernel_impl, True, True, n_halves),
         grid=grid,
         in_specs=in_specs,
         interpret=interpret,
@@ -565,10 +565,11 @@ def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
-                                               "inner", "interpret"))
+                                               "inner", "interpret",
+                                               "n_halves"))
 def field_backward_v6(packed, g_bands, xacts, d_out, samples_per_ray,
                       tile: int = 512, inner: int = 16,
-                      interpret: bool = False):
+                      interpret: bool = False, n_halves: int = 2):
     """No-IPE recompute-free backward: same grid/accumulator structure
     as field_backward_v5, but consumes the spill_x activations
     (xacts: (N, XACTS_COLS) bf16 from field_forward_v6(spill_x=True))
@@ -628,7 +629,7 @@ def field_backward_v6(packed, g_bands, xacts, d_out, samples_per_ray,
     flops_per_row = 2 * 2 * (ENC_PAD * 256 + 7 * 256 * 256 + SKIP_PAD * 256
                              + 256 * OUT_DIM + 256 * 128 + 128 * 128)
     res = pl.pallas_call(
-        _bwd_kernel_noipe,
+        functools.partial(_bwd_kernel_noipe, n_halves),
         grid=grid,
         in_specs=in_specs,
         interpret=interpret,
