@@ -37,15 +37,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rsn.kernels.field_pallas import (DEFAULT_TILE, ENC_PAD, IN_COLS,
-                                      OUT_DIM, SKIP_PAD, V3_OUT,
+from rsn.kernels.field_pallas import (DEFAULT_TILE, ENC_PAD, FH_COLS,
+                                      IN_COLS, OUT_DIM, SKIP_PAD, V3_OUT,
                                       _BAND_KS, _cos2pi, _ipe_parts,
                                       _sin2pi, field_forward_v3,
                                       field_forward_v6,
-                                      ipe_matrices, pack_params_v3)
+                                      ipe_matrices, pack_params_v3f)
 from rsn.models.field import SKIP_AT, TRUNK_LAYERS
 
-N_PACKED = 22  # w0..7, b0..7, wh, bh, w_emb, b_mid, w_out, b_out
+N_PACKED = 20  # w0..7, b0..7, w_hc, b_hc, w_out, b_out (pack_params_v3f)
 
 
 def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
@@ -56,8 +56,8 @@ def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
         acts_ref = None
     packed = refs[:N_PACKED]
     (w0, w1, w2, w3, w4, w5, w6, w7,
-     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
-     w_emb, b_mid, w_out, b_out) = packed
+     b0, b1, b2, b3, b4, b5, b6, b7,
+     w_hc, b_hc, w_out, b_out) = packed
     outs = refs[N_PACKED:]
     (dmc_ref, dg_ref) = outs[:2]
     dpacked_raw = outs[2:]  # same order as packed
@@ -102,7 +102,7 @@ def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
         sl = slice(p * H, (p + 1) * H)
         dmc, dg_all, contribs = _bwd_half(
             parts[p], g_rep[sl, :], dout_ref[sl, :], ipe, ws, bs,
-            wh, bh, w_emb, b_mid, w_out, b_out,
+            w_hc, b_hc, w_out, b_out,
             acts_b=None if acts_ref is None else acts_ref[sl, :])
         dmc_ref[sl, :] = dmc
         # per-ray reduce: E_half^T @ dg_all -> (rays_per_tile, 512)
@@ -115,9 +115,21 @@ def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
     dg_ref[:] = dg_tot
 
 
-def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
+def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, w_hc, b_hc,
               w_out, b_out, acts_b=None, want_dmc=True):
-    """Recompute-backward for one half-tile.
+    """FOLDED recompute-backward for one half-tile (r5).
+
+    Operands use the fused pack_params_v3f layout: w_hc = [heads FH_* |
+    w_comb = W_bneck @ W_emb].  The 256-wide bottleneck never
+    materializes here (as in the forward) — the kernel accumulates
+    d w_hc / d b_hc and the caller unfolds them into bottleneck /
+    mid_mlp gradients with two parameter-shaped matmuls in XLA
+    (_unpack_grads; exact chain rule through the fold, fp32-reassociated
+    vs the old unfused form).  vs that form this removes the 256-col
+    bneck recompute + its wgrad (the heads matmul and its wgrad/dgrad
+    drop from 384 to 256 columns) and fuses the heads+mid backward into
+    ONE wgrad + ONE dgrad 256-wide MXU pair — ~13% fewer kernel MACs
+    and two fewer serial links.
 
     parts: the half's precomputed IPE (x, pre_enc, damp, u).
     acts_b: optional (H, 2048) bf16 trunk activations spilled by
@@ -132,8 +144,8 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     are detached PDF bins over leaf rays, exactly as in the torch
     reference where rays are autograd leaves).
     Returns (dmc (H,16) f32 or None, dg_all (H,512) f32 per-sample,
-    contribs[22]) where contribs follow the packed-operand order
-    (w0..7, b0..7, wh, bh, w_emb, b_mid, w_out, b_out).
+    contribs[20]) where contribs follow the packed-operand order
+    (w0..7, b0..7, w_hc, b_hc, w_out, b_out).
     """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -159,15 +171,15 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
               for i in range(TRUNK_LAYERS)]
         h = hs[-1]
 
-    heads = jnp.dot(h, wh[:], preferred_element_type=f32) + bh[:]
-    bneck = heads[:, 0:256].astype(bf16)
-    diff = jax.nn.sigmoid(heads[:, 257:260])
-    tint = jax.nn.sigmoid(heads[:, 260:263])
-    rough_raw = heads[:, 263:264]
+    hc = jnp.dot(h, w_hc[:], preferred_element_type=f32) + b_hc[:]
+    heads = hc[:, 0:128]  # FH_* layout
+    diff = jax.nn.sigmoid(heads[:, 1:4])
+    tint = jax.nn.sigmoid(heads[:, 4:7])
+    rough_raw = heads[:, 7:8]
     rough_sp = jax.nn.softplus(rough_raw)
 
     g_rep = g_rep_b.astype(f32)  # (H, 512) per-sample SH partials
-    mid_pre = jnp.dot(bneck, w_emb[:], preferred_element_type=f32) + b_mid[:]
+    mid_pre = hc[:, 128:256]
     attens = []
     for bi, k in enumerate(_BAND_KS):
         a = jnp.exp(-rough_sp * k)
@@ -191,24 +203,15 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
     dz_out = jnp.concatenate(
         [dz3, jnp.zeros((dz3.shape[0], 125), f32)], axis=1)
     dz_out_b = dz_out.astype(bf16)
-    contribs[20] = jax.lax.dot_general(
+    contribs[18] = jax.lax.dot_general(
         hmid, dz_out_b, (((0,), (0,)), ((), ())),
         preferred_element_type=f32)
-    contribs[21] = jnp.sum(dz_out, axis=0, keepdims=True)
+    contribs[19] = jnp.sum(dz_out, axis=0, keepdims=True)
     dhmid = jax.lax.dot_general(
         dz_out_b, w_out[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32)
     dmid_pre = dhmid * (mid_pre > 0.0)
-    dmid_pre_b = dmid_pre.astype(bf16)
 
-    # mid_pre = bneck @ w_emb + b_mid + sum_b atten_b * g_rep_b
-    contribs[18] = jax.lax.dot_general(
-        bneck, dmid_pre_b, (((0,), (0,)), ((), ())),
-        preferred_element_type=f32)
-    contribs[19] = jnp.sum(dmid_pre, axis=0, keepdims=True)
-    dbneck = jax.lax.dot_general(
-        dmid_pre_b, w_emb[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
     # dg: per-sample band grads (atten edge wrt rough is DROPPED —
     # reference detaches roughness into the directional encoding);
     # ray-reduced by the caller via E^T in f32
@@ -217,23 +220,23 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, wh, bh, w_emb, b_mid,
         dg_cols.append(attens[bi] * dmid_pre)
     dg_all = jnp.concatenate(dg_cols, axis=1)  # (H, 512) f32
 
-    # heads backward
+    # heads + mid-seed backward: ONE fused 256-wide wgrad/dgrad pair
     d_heads = jnp.concatenate([
-        dbneck,
         ddensity,
         ddiff * diff * (1.0 - diff),
         dtint * tint * (1.0 - tint),
         drough,
         dnormals,
-        jnp.zeros((dbneck.shape[0], OUT_DIM - 267), f32),
-    ], axis=1)  # (H, 384) — column order matches pack_params heads
-    d_heads_b = d_heads.astype(bf16)
+        jnp.zeros((ddensity.shape[0], 128 - FH_COLS), f32),
+    ], axis=1)  # (H, 128) — FH_* column order
+    d_hc = jnp.concatenate([d_heads, dmid_pre], axis=1)  # (H, 256)
+    d_hc_b = d_hc.astype(bf16)
     contribs[16] = jax.lax.dot_general(
-        hs[-1], d_heads_b, (((0,), (0,)), ((), ())),
+        hs[-1], d_hc_b, (((0,), (0,)), ((), ())),
         preferred_element_type=f32)
-    contribs[17] = jnp.sum(d_heads, axis=0, keepdims=True)
+    contribs[17] = jnp.sum(d_hc, axis=0, keepdims=True)
     dh = jax.lax.dot_general(
-        d_heads_b, wh[:], (((1,), (1,)), ((), ())),
+        d_hc_b, w_hc[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32)
 
     # trunk backward
@@ -284,8 +287,8 @@ def _bwd_kernel_noipe(n_halves, xacts_ref, g_ref, dout_ref, E_ref, *refs):
 
     packed = refs[:N_PACKED]
     (w0, w1, w2, w3, w4, w5, w6, w7,
-     b0, b1, b2, b3, b4, b5, b6, b7, wh, bh,
-     w_emb, b_mid, w_out, b_out) = packed
+     b0, b1, b2, b3, b4, b5, b6, b7,
+     w_hc, b_hc, w_out, b_out) = packed
     outs = refs[N_PACKED:]
     dg_ref = outs[0]
     dpacked = [r.at[0] for r in outs[1:]]
@@ -307,7 +310,7 @@ def _bwd_kernel_noipe(n_halves, xacts_ref, g_ref, dout_ref, E_ref, *refs):
         parts = (xacts_ref[sl, ACTS_COLS:], None, None, None)
         _, dg_all, contribs = _bwd_half(
             parts, g_rep[sl, :], dout_ref[sl, :], (None,) * 4, ws, bs,
-            wh, bh, w_emb, b_mid, w_out, b_out,
+            w_hc, b_hc, w_out, b_out,
             acts_b=xacts_ref[sl, :ACTS_COLS], want_dmc=False)
         dgp = jax.lax.dot_general(
             E_ref[sl, :], dg_all, (((0,), (0,)), ((), ())),
@@ -654,7 +657,18 @@ from rsn.core.encodings import IPE_OUT_DIM as _IPE_DIM
 
 
 def _unpack_grads(params, dpacked):
-    """Map fp32 grads of the packed operands back onto the params tree."""
+    """Map fp32 grads of the FUSED packed operands (pack_params_v3f)
+    back onto the params tree.
+
+    The w_hc/b_hc gradients are UNFOLDED into bottleneck / mid_mlp
+    gradients by exact chain rule through w_comb = W_bneck @ W_emb and
+    b_comb = b_bneck @ W_emb + b_mid:
+      dW_bneck = dW_comb @ W_emb^T     db_bneck = db_comb @ W_emb^T
+      dW_emb   = W_bneck^T @ dW_comb + b_bneck (outer) db_comb
+      db_mid   = db_comb
+    Two parameter-shaped fp32 matmuls, done once per step in XLA —
+    the 256-wide bottleneck never exists inside the backward kernel.
+    Values equal the unfused accumulation up to fp32 reassociation."""
     zeros_like = lambda p: jax.tree.map(jnp.zeros_like, p)
     g: Dict[str, Any] = {"low": zeros_like(params["low"])}
     trunk = []
@@ -666,21 +680,32 @@ def _unpack_grads(params, dpacked):
             dw = dw[:_IPE_DIM]
         trunk.append({"w": dw, "b": dpacked[8 + i][0]})
     g["trunk"] = trunk
-    dwh, dbh = dpacked[16], dpacked[17][0]
-    cols = {"bottleneck": (0, 256), "density": (256, 257),
-            "diff": (257, 260), "tint": (260, 263),
-            "roughness": (263, 264), "normals": (264, 267)}
+    dw_hc, db_hc = dpacked[16], dpacked[17][0]  # (256, 256), (256,)
+    cols = {"density": (0, 1), "diff": (1, 4), "tint": (4, 7),
+            "roughness": (7, 8), "normals": (8, 11)}  # FH_* layout
     for name, (lo, hi) in cols.items():
-        g[name] = {"w": dwh[:, lo:hi], "b": dbh[lo:hi]}
+        g[name] = {"w": dw_hc[:, lo:hi], "b": db_hc[lo:hi]}
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    dw_comb = dw_hc[:, 128:256]
+    db_comb = db_hc[128:256]
+    wb = params["bottleneck"]["w"].astype(f32)
+    bb = params["bottleneck"]["b"].astype(f32)
+    w_emb = params["mid_mlp"]["w"][34:].astype(f32)
+    g["bottleneck"] = {
+        "w": jnp.matmul(dw_comb, w_emb.T, precision=hi),
+        "b": jnp.matmul(db_comb, w_emb.T, precision=hi),
+    }
+    dw_emb = (jnp.matmul(wb.T, dw_comb, precision=hi)
+              + bb[:, None] * db_comb[None, :])
     # mid_mlp: encoder rows (0:34) get their grads via the dg chain
-    # (mid_g_bands is differentiable XLA code); emb rows from dpacked
+    # (mid_g_bands is differentiable XLA code); emb rows unfolded above
     g["mid_mlp"] = {
         "w": jnp.concatenate([
-            jnp.zeros((34, dpacked[18].shape[1]), jnp.float32),
-            dpacked[18]], axis=0),
-        "b": dpacked[19][0],
+            jnp.zeros((34, dw_emb.shape[1]), f32), dw_emb], axis=0),
+        "b": db_comb,
     }
-    g["mid"] = {"w": dpacked[20][:, 0:3], "b": dpacked[21][0, 0:3]}
+    g["mid"] = {"w": dpacked[18][:, 0:3], "b": dpacked[19][0, 0:3]}
     return g
 
 
@@ -762,7 +787,7 @@ def bwd_rays_per_tile(tile, samples_per_ray):
 def _bwd(samples_per_ray, tile, want_normals, save_acts, want_dmc, res,
          d_out):
     params, mean_cov, g_bands, acts = res
-    packed = pack_params_v3(params)
+    packed = pack_params_v3f(params)
     rays_per_tile_bwd = bwd_rays_per_tile(tile, samples_per_ray)
     tile_bwd = samples_per_ray * rays_per_tile_bwd
     if acts is not None and not want_dmc:

@@ -121,7 +121,7 @@ def test_backward_matches_shadow_grads(setup):
         params, mc, g)
 
     d_out = w_rand.astype(jnp.bfloat16)
-    packed = fp.pack_params_v3(params)
+    packed = fp.pack_params_v3f(params)
     dmc, dg, dpacked = ft.field_backward_v3(
         packed, mc, g, d_out, S, tile=TILE, interpret=True)
     gk_p = ft._unpack_grads(params, dpacked)
@@ -149,13 +149,12 @@ def test_backward_matches_shadow_grads(setup):
 
 
 def test_fused_vs_unfused_packing_asymmetry_bounded():
-    """The custom-VJP pair is numerically asymmetric by design: the
-    fused forward evaluates h @ w_comb with w_comb = (Wb @ W_emb)
-    folded in fp32 and rounded ONCE to bf16, while the recompute
-    backward re-derives the bottleneck through two separate bf16
-    matmuls (pack_params_v3).  This pins the gap at bf16 resolution so
-    a future packing change that widens it fails loudly (ADVICE r1,
-    field_pallas.py pack_params_v3f).
+    """Since r5 BOTH forward and backward use the folded packing
+    (pack_params_v3f), so the vjp pair itself is symmetric; the
+    remaining asymmetry is folded-vs-unfused against the pure-JAX
+    shadow (which deliberately keeps the reference's two-matmul
+    bottleneck form).  This pins that gap at bf16 resolution so a
+    packing change that widens it fails loudly (ADVICE r1).
     """
     params = field_lib.init_field_params(jax.random.PRNGKey(7))
     f32, bf16 = jnp.float32, jnp.bfloat16
@@ -193,7 +192,7 @@ def test_backward_v4_matches_v3(setup):
     params, mc, g = setup
     d_out = jax.random.normal(jax.random.PRNGKey(5),
                               (N, fp.V3_OUT)).astype(jnp.bfloat16)
-    packed = fp.pack_params_v3(params)
+    packed = fp.pack_params_v3f(params)
     dmc3, dg3, dp3 = ft.field_backward_v3(packed, mc, g, d_out, S,
                                           tile=TILE, interpret=True)
     dmc4, dg4, dp4 = ft.field_backward_v4(packed, mc, g, d_out, S,
@@ -313,7 +312,7 @@ def test_backward_v4_rejects_non_dividing_tile(setup):
     """Non-divisible row counts must fail loudly, not silently
     truncate the grid (round-2 review finding)."""
     params, mc, g = setup
-    packed = fp.pack_params_v3(params)
+    packed = fp.pack_params_v3f(params)
     d_out = jnp.zeros((N, fp.V3_OUT), jnp.bfloat16)
     with pytest.raises(AssertionError):
         ft.field_backward_v4(packed, mc, g, d_out, S,
@@ -399,7 +398,7 @@ def test_forward_v6_matches_v3_v4_and_spills_acts(setup):
 
     # shadow trunk: same IPE + 8 relu layers, bf16 (mirrors _field_half)
     A, bA, V, M = fp.ipe_matrices()
-    packed = fp.pack_params_v3(params)
+    packed = fp.pack_params_v3f(params)
     ws = packed[:8]
     bs = packed[8:16]
     pre = mc @ A + bA
@@ -431,7 +430,7 @@ def test_backward_v5_matches_v4(setup):
     params, mc, g = setup
     d_out = jax.random.normal(jax.random.PRNGKey(5),
                               (N, fp.V3_OUT)).astype(jnp.bfloat16)
-    packed = fp.pack_params_v3(params)
+    packed = fp.pack_params_v3f(params)
     _, acts = fp.field_forward_v6(fp.pack_params_v3f(params), mc, g, S,
                                   tile=TILE, interpret=True)
     dmc4, dg4, dp4 = ft.field_backward_v4(packed, mc, g, d_out, S,
@@ -493,7 +492,7 @@ def test_backward_v6_noipe_matches_v5(setup):
     params, mc, g = setup
     d_out = jax.random.normal(jax.random.PRNGKey(6),
                               (N, fp.V3_OUT)).astype(jnp.bfloat16)
-    packed = fp.pack_params_v3(params)
+    packed = fp.pack_params_v3f(params)
     _, acts = fp.field_forward_v6(fp.pack_params_v3f(params), mc, g, S,
                                   tile=TILE, interpret=True)
     _, xacts = fp.field_forward_v6(fp.pack_params_v3f(params), mc, g, S,

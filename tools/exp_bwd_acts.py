@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from rsn.kernels.field_pallas import (V3_OUT, field_forward_v4,
                                       field_forward_v6, mid_g_bands,
-                                      pack_params_v3, pack_params_v4f)
+                                      pack_params_v3f, pack_params_v4f)
 from rsn.kernels import field_train as ft
 from rsn.models import field as field_lib
 from rsn.utils.timing import time_kernel as time_fn
@@ -34,7 +34,7 @@ def bench_shape(params, n, S):
     g = mid_g_bands(params, d)
     dout = jax.random.normal(jax.random.PRNGKey(2), (n, V3_OUT)).astype(
         jnp.bfloat16)
-    packed = pack_params_v3(params)
+    packed = pack_params_v3f(params)
     packed4 = pack_params_v4f(params)
     tile_fwd = 2048
     tile_bwd = S * ft.bwd_rays_per_tile(tile_fwd, S)

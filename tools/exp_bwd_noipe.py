@@ -17,6 +17,14 @@ Run on TPU: PYTHONPATH=/root/repo:$PYTHONPATH python tools/exp_bwd_noipe.py
 """
 from __future__ import annotations
 
+import sys
+print("SUPERSEDED (r5): this probe hand-rolls a backward kernel against the\n"
+      "pre-r5 UNFUSED _bwd_half signature; the shipped backward is now the\n"
+      "FOLDED form (field_train.py r5).  Its recorded conclusion stands in\n"
+      "BASELINE.md; for equivalents use field_backward_v4(n_halves=1) \n"
+      "(whole-tile probe) or field_backward_v6 (no-IPE, shipped).")
+sys.exit(0)
+
 import functools
 
 import jax

@@ -7,7 +7,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rsn.kernels.field_pallas import V3_OUT, mid_g_bands, pack_params_v3
+from rsn.kernels.field_pallas import V3_OUT, mid_g_bands, pack_params_v3f
 from rsn.kernels.field_train import field_backward_v4
 from rsn.models import field as field_lib
 from rsn.utils.timing import time_kernel as time_fn
@@ -17,7 +17,7 @@ FL = 1.343e6
 
 def main():
     params = field_lib.init_field_params(jax.random.PRNGKey(0))
-    packed = pack_params_v3(params)
+    packed = pack_params_v3f(params)
     n, S = 131072, 128
     key = jax.random.PRNGKey(1)
     mean = jax.random.normal(key, (n, 3)) * 0.5

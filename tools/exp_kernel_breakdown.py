@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from rsn.kernels.field_pallas import (field_forward_v3, field_forward_v4,
-                                      mid_g_bands, pack_params_v3,
+                                      mid_g_bands, pack_params_v3f,
                                       pack_params_v3f, pack_params_v4f)
 from rsn.kernels.field_train import field_backward_v4
 from rsn.models import field as field_lib
@@ -32,7 +32,7 @@ def make_inputs(n, rays):
 def main():
     params = field_lib.init_field_params(jax.random.PRNGKey(0))
     p3 = pack_params_v3f(params)   # fused-forward packing
-    p3u = pack_params_v3(params)   # unfused (backward)
+    p3u = pack_params_v3f(params)  # folded (backward, r5)
     p4 = pack_params_v4f(params)
 
     # primary-pass shape: 1024 rays x 128 samples

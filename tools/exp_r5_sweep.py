@@ -39,7 +39,7 @@ def main():
     g = fp.mid_g_bands(params, d)
     p3f = fp.pack_params_v3f(params)
     p4f = fp.pack_params_v4f(params)
-    p3 = fp.pack_params_v3(params)
+    p3 = fp.pack_params_v3f(params)
 
     if which in ("fwd", "all"):
         print("== v6 fwd (normals + spill_x), train fine shape ==")
