@@ -98,6 +98,7 @@ def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
     parts = [_ipe_parts(mc_ref[p * H:(p + 1) * H, :], ipe)
              for p in range(n_halves)]
     dg_tot = None
+    tile_contribs = None
     for p in range(n_halves):
         sl = slice(p * H, (p + 1) * H)
         dmc, dg_all, contribs = _bwd_half(
@@ -110,8 +111,12 @@ def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
             E_ref[sl, :], dg_all, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dg_tot = dgp if dg_tot is None else dg_tot + dgp
-        for j, c in enumerate(contribs):
-            dpacked[j][:] += c
+        # sum halves in registers first: ONE accumulator RMW per tile
+        # instead of one per half
+        tile_contribs = (contribs if tile_contribs is None else
+                         [a + c for a, c in zip(tile_contribs, contribs)])
+    for j, c in enumerate(tile_contribs):
+        dpacked[j][:] += c
     dg_ref[:] = dg_tot
 
 
@@ -239,13 +244,17 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, w_hc, b_hc,
         d_hc_b, w_hc[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32)
 
-    # trunk backward
+    # trunk backward.  The relu masks depend only on the (loaded or
+    # recomputed) activations, never on the chain — hoist them all
+    # upfront so their VPU compares can overlap the serial MXU dgrads.
+    masks = [hs[i].astype(f32) > 0.0  # bf16 cmpf unsupported in Mosaic
+             for i in range(TRUNK_LAYERS)]
     dx_extra = None
     for i in range(TRUNK_LAYERS - 1, -1, -1):
         inp = hs[i - 1] if i > 0 else x
         if i == SKIP_AT:
             inp = jnp.concatenate([x, hs[i - 1]], axis=-1)
-        mask = hs[i].astype(f32) > 0.0  # bf16 cmpf unsupported in Mosaic
+        mask = masks[i]
         dpre = (dh * mask).astype(bf16)
         contribs[i] = jax.lax.dot_general(
             inp, dpre, (((0,), (0,)), ((), ())),
@@ -305,6 +314,7 @@ def _bwd_kernel_noipe(n_halves, xacts_ref, g_ref, dout_ref, E_ref, *refs):
     T = xacts_ref.shape[0]
     H = T // n_halves
     dg_tot = None
+    tile_contribs = None
     for p in range(n_halves):
         sl = slice(p * H, (p + 1) * H)
         parts = (xacts_ref[sl, ACTS_COLS:], None, None, None)
@@ -316,8 +326,10 @@ def _bwd_kernel_noipe(n_halves, xacts_ref, g_ref, dout_ref, E_ref, *refs):
             E_ref[sl, :], dg_all, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dg_tot = dgp if dg_tot is None else dg_tot + dgp
-        for j, c in enumerate(contribs):
-            dpacked[j][:] += c
+        tile_contribs = (contribs if tile_contribs is None else
+                         [a + c for a, c in zip(tile_contribs, contribs)])
+    for j, c in enumerate(tile_contribs):
+        dpacked[j][:] += c
     dg_ref[:] = dg_tot
 
 
@@ -394,7 +406,7 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
                                                "inner", "interpret",
                                                "n_halves"))
 def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
-                      tile: int = 512, inner: int = 16,
+                      tile: int = 512, inner: int = 8,
                       interpret: bool = False, n_halves: int = 2):
     """2D-grid recompute-backward: same math as v3, but the fp32 wgrad
     accumulators live per OUTER grid group ((outer, rows, cols) outputs,
@@ -480,7 +492,7 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
                                                "inner", "interpret",
                                                "n_halves"))
 def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
-                      samples_per_ray, tile: int = 512, inner: int = 16,
+                      samples_per_ray, tile: int = 512, inner: int = 8,
                       interpret: bool = False, n_halves: int = 2):
     """Recompute-FREE backward: identical math and grid structure to
     field_backward_v4, but consumes the trunk activations spilled by
@@ -571,7 +583,7 @@ def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
                                                "inner", "interpret",
                                                "n_halves"))
 def field_backward_v6(packed, g_bands, xacts, d_out, samples_per_ray,
-                      tile: int = 512, inner: int = 16,
+                      tile: int = 512, inner: int = 8,
                       interpret: bool = False, n_halves: int = 2):
     """No-IPE recompute-free backward: same grid/accumulator structure
     as field_backward_v5, but consumes the spill_x activations
@@ -768,18 +780,19 @@ def _fwd(params, mean_cov, g_bands, samples_per_ray, tile, want_normals,
 def bwd_rays_per_tile(tile, samples_per_ray):
     """Rays per backward tile, given the FORWARD tile (rows).
 
-    The halved kernel body keeps the per-half working set small enough
-    that the recompute-backward fits (and runs ~10% faster) at
-    tile=1024; 2048 regresses (VMEM pressure).  Constraints: the
+    r5: the FOLDED backward's live set is small enough that 2048-row
+    tiles win (tile=2048/inner=8: 2.10 ms vs 1024/16: 2.17 ms at the
+    fine train shape, tools/exp_r5_sweep.py min-of-3; the pre-fold
+    kernel regressed at 2048 from VMEM pressure).  Constraints: the
     per-ray dg block needs >=8 sublanes (8 rays/tile), and the backward
     tile must DIVIDE the row count — which the caller pads to a
     multiple of the forward tile — so pick the largest divisor of the
-    forward rays-per-tile that fits the ~1024-row budget (falling back
+    forward rays-per-tile that fits the ~2048-row budget (falling back
     to the forward tile itself, e.g. samples_per_ray 96 where no
     divisor of 21 is >= 8).
     """
     rays_fwd = tile // samples_per_ray
-    target = max(1, min(tile, 1024) // samples_per_ray)
+    target = max(1, min(tile, 2048) // samples_per_ray)
     return next((d for d in range(min(rays_fwd, target), 0, -1)
                  if rays_fwd % d == 0 and d >= 8), rays_fwd)
 

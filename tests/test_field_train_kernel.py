@@ -302,10 +302,11 @@ def test_bwd_rays_per_tile_divides_forward_tile():
             r = ft.bwd_rays_per_tile(tile, spr)
             assert rays_fwd % r == 0, (spr, base, rays_fwd, r)
             assert r >= 8 or r == rays_fwd, (spr, base, r)
-            assert r * spr <= 1024 or r == rays_fwd, (spr, base, r)
-    # tuned defaults unchanged: S=128/64 at forward tile 2048 -> 1024
-    assert ft.bwd_rays_per_tile(2048, 128) * 128 == 1024
-    assert ft.bwd_rays_per_tile(2048, 64) * 64 == 1024
+            assert r * spr <= 2048 or r == rays_fwd, (spr, base, r)
+    # tuned defaults (r5 folded backward, exp_r5_sweep): S=128/64 at
+    # forward tile 2048 -> full 2048-row backward tiles
+    assert ft.bwd_rays_per_tile(2048, 128) * 128 == 2048
+    assert ft.bwd_rays_per_tile(2048, 64) * 64 == 2048
 
 
 def test_backward_v4_rejects_non_dividing_tile(setup):

@@ -58,10 +58,10 @@ def main():
             p4f, mc, g, S, 2048, want_normals=True, spill_x=True))(mc, g)
         dout = jax.random.normal(jax.random.PRNGKey(2),
                                  (N, fp.V3_OUT)).astype(jnp.bfloat16)
-        for tile in (512, 1024, 2048):
+        for tile in (1024, 2048):
             for inner in (8, 16, 32):
                 for nh in (1, 2, 4):
-                    if tile // S * S != tile:
+                    if tile // S < 8:  # per-ray g block needs >=8 sublanes
                         continue
                     fn = jax.jit(
                         lambda g, xa, do, t=tile, i=inner, h=nh:
