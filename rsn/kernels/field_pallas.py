@@ -435,9 +435,19 @@ def _field_half(parts, g_rep, ipe, ws, bs, w_hc, b_hc,
     mid_out = diff + tint * mid
 
     if wd_row is None:
-        zeros = jnp.zeros((x.shape[0], out_width - 14), f32)
-        out = jnp.concatenate([mid_out, diff, tint, normals_raw,
-                               density_pre, rough_raw, zeros], axis=1)
+        if out_width >= 24:
+            # train-width store: mid at V3_MIDVAL so the OUT-FED
+            # backward can skip the tail recompute (r5); cols 14:17
+            # (dpdm) stay zero in the no-normals variant
+            zeros3 = jnp.zeros((x.shape[0], 3), f32)
+            zeros = jnp.zeros((x.shape[0], out_width - 20), f32)
+            out = jnp.concatenate([mid_out, diff, tint, normals_raw,
+                                   density_pre, rough_raw, zeros3, mid,
+                                   zeros], axis=1)
+        else:
+            zeros = jnp.zeros((x.shape[0], out_width - 14), f32)
+            out = jnp.concatenate([mid_out, diff, tint, normals_raw,
+                                   density_pre, rough_raw, zeros], axis=1)
         return (out, hs) if want_acts else out
 
     # fused analytic-normals dgrad: d density_pre / d mean
@@ -458,9 +468,9 @@ def _field_half(parts, g_rep, ipe, ws, bs, w_hc, b_hc,
     dpre_enc = dx * (M * damp * _cos2pi(u) + (1.0 - M))
     dmc = jax.lax.dot_general(dpre_enc, A, (((1,), (1,)), ((), ())),
                               preferred_element_type=f32)
-    zeros = jnp.zeros((x.shape[0], out_width - 17), f32)
+    zeros = jnp.zeros((x.shape[0], out_width - 20), f32)
     out = jnp.concatenate([mid_out, diff, tint, normals_raw, density_pre,
-                           rough_raw, dmc[:, 0:3], zeros], axis=1)
+                           rough_raw, dmc[:, 0:3], mid, zeros], axis=1)
     return (out, hs) if want_acts else out
 
 
@@ -661,6 +671,10 @@ def field_forward_density(packed, mean_cov: jax.Array,
 # Costs ~1x extra forward FLOPs; saves the entire separate XLA pass.
 
 V4_DPDM = slice(14, 17)
+# per-sample mid (directional rgb BEFORE the diff + tint*mid composite),
+# stored at train widths (out_cols >= 24) so the out-fed backward can
+# skip its tail recompute entirely (r5); zeros at eval widths
+V3_MIDVAL = slice(17, 20)
 
 
 def pack_params_v4f(params: Dict[str, Any]):

@@ -49,7 +49,8 @@ N_PACKED = 20  # w0..7, b0..7, w_hc, b_hc, w_out, b_out (pack_params_v3f)
 
 
 def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
-                     A_ref, bA_ref, V_ref, M_ref, E_ref, *refs):
+                     fout_ref, A_ref, bA_ref, V_ref, M_ref, E_ref,
+                     *refs):
     if has_acts:
         acts_ref, refs = refs[0], refs[1:]
     else:
@@ -102,8 +103,8 @@ def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
     for p in range(n_halves):
         sl = slice(p * H, (p + 1) * H)
         dmc, dg_all, contribs = _bwd_half(
-            parts[p], g_rep[sl, :], dout_ref[sl, :], ipe, ws, bs,
-            w_hc, b_hc, w_out, b_out,
+            parts[p], g_rep[sl, :], dout_ref[sl, :], fout_ref[sl, :],
+            ipe, ws, bs, w_hc, b_hc, w_out, b_out,
             acts_b=None if acts_ref is None else acts_ref[sl, :])
         dmc_ref[sl, :] = dmc
         # per-ray reduce: E_half^T @ dg_all -> (rays_per_tile, 512)
@@ -120,7 +121,7 @@ def _bwd_kernel_impl(two_d, has_acts, n_halves, mc_ref, g_ref, dout_ref,
     dg_ref[:] = dg_tot
 
 
-def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, w_hc, b_hc,
+def _bwd_half(parts, g_rep_b, dout_b, fout_b, ipe, ws, bs, w_hc, b_hc,
               w_out, b_out, acts_b=None, want_dmc=True):
     """FOLDED recompute-backward for one half-tile (r5).
 
@@ -137,6 +138,15 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, w_hc, b_hc,
     and two fewer serial links.
 
     parts: the half's precomputed IPE (x, pre_enc, damp, u).
+    fout_b: the FORWARD's out block (H, >= 20) bf16 — diff/tint/rough
+    (sigmoid/raw head values) and mid (V3_MIDVAL, stored by the r5
+    train-width forward) are read from it instead of recomputed, so the
+    backward skips the heads half of the hc matmul, the z_out matmul,
+    and three sigmoid tails (the out already sits in HBM next to
+    d_out; reading it costs one more narrow DMA).  bf16-rounded tail
+    values shift the local sigmoid-grad factors by <= 1 bf16 ulp —
+    within the kernel's bf16 gradient tolerance, applied uniformly
+    across all backward variants.
     acts_b: optional (H, 2048) bf16 trunk activations spilled by
     field_forward_v6 — when given, the trunk forward recompute (8
     matmuls, ~1/3 of this kernel's FLOPs) is skipped; values are
@@ -176,23 +186,27 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, w_hc, b_hc,
               for i in range(TRUNK_LAYERS)]
         h = hs[-1]
 
-    hc = jnp.dot(h, w_hc[:], preferred_element_type=f32) + b_hc[:]
-    heads = hc[:, 0:128]  # FH_* layout
-    diff = jax.nn.sigmoid(heads[:, 1:4])
-    tint = jax.nn.sigmoid(heads[:, 4:7])
-    rough_raw = heads[:, 7:8]
+    # tail values from the forward's stored out (see fout_b above):
+    # V3 layout — diff 3:6, tint 6:9, rough 13, mid V3_MIDVAL
+    fout = fout_b.astype(f32)
+    diff = fout[:, 3:6]
+    tint = fout[:, 6:9]
+    rough_raw = fout[:, 13:14]
+    mid = fout[:, 17:20]
     rough_sp = jax.nn.softplus(rough_raw)
 
     g_rep = g_rep_b.astype(f32)  # (H, 512) per-sample SH partials
-    mid_pre = hc[:, 128:256]
+    # only the mid-seed half of the hc matmul is needed (hmid for the
+    # w_out wgrad + the relu mask); the heads half is never recomputed
+    mid_pre = (jnp.dot(h, w_hc[:, 128:256],
+                       preferred_element_type=f32)
+               + b_hc[:, 128:256])
     attens = []
     for bi, k in enumerate(_BAND_KS):
         a = jnp.exp(-rough_sp * k)
         attens.append(a)
         mid_pre = mid_pre + a * g_rep[:, bi * 128:(bi + 1) * 128]
     hmid = jnp.maximum(mid_pre, 0.0).astype(bf16)
-    z_out = jnp.dot(hmid, w_out[:], preferred_element_type=f32) + b_out[:]
-    mid = jax.nn.sigmoid(z_out[:, 0:3])
 
     # ---- backward ----
     dout = dout_b.astype(f32)  # (H, 128)
@@ -288,7 +302,8 @@ def _bwd_half(parts, g_rep_b, dout_b, ipe, ws, bs, w_hc, b_hc,
 _bwd_kernel = functools.partial(_bwd_kernel_impl, False, False, 2)
 
 
-def _bwd_kernel_noipe(n_halves, xacts_ref, g_ref, dout_ref, E_ref, *refs):
+def _bwd_kernel_noipe(n_halves, xacts_ref, g_ref, dout_ref, fout_ref,
+                      E_ref, *refs):
     """No-IPE backward: x + trunk activations come from the v6 spill
     (spill_x layout, XACTS_COLS), dmc is not computed — no mean_cov
     input, no transcendental work at all."""
@@ -319,8 +334,8 @@ def _bwd_kernel_noipe(n_halves, xacts_ref, g_ref, dout_ref, E_ref, *refs):
         sl = slice(p * H, (p + 1) * H)
         parts = (xacts_ref[sl, ACTS_COLS:], None, None, None)
         _, dg_all, contribs = _bwd_half(
-            parts, g_rep[sl, :], dout_ref[sl, :], (None,) * 4, ws, bs,
-            w_hc, b_hc, w_out, b_out,
+            parts, g_rep[sl, :], dout_ref[sl, :], fout_ref[sl, :],
+            (None,) * 4, ws, bs, w_hc, b_hc, w_out, b_out,
             acts_b=xacts_ref[sl, :ACTS_COLS], want_dmc=False)
         dgp = jax.lax.dot_general(
             E_ref[sl, :], dg_all, (((0,), (0,)), ((), ())),
@@ -335,7 +350,8 @@ def _bwd_kernel_noipe(n_halves, xacts_ref, g_ref, dout_ref, E_ref, *refs):
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
                                                "interpret"))
-def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
+def field_backward_v3(packed, mean_cov, g_bands, d_out, f_out,
+                      samples_per_ray,
                       tile: int = DEFAULT_TILE, interpret: bool = False):
     """-> (dmc (N,16), dg (R,512), dpacked tuple matching `packed`).
 
@@ -357,6 +373,8 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
         pl.BlockSpec((tile, IN_COLS), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rays_per_tile, 512), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, V3_OUT), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -398,14 +416,16 @@ def field_backward_v3(packed, mean_cov, g_bands, d_out, samples_per_ray,
             flops=flops_per_row * n,
             bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2) + n_rays * 4096,
             transcendentals=n * 300),
-    )(mean_cov, g_bands.astype(jnp.float32), d_out, *ipe_ops, E, *packed)
+    )(mean_cov, g_bands.astype(jnp.float32), d_out, f_out, *ipe_ops,
+      E, *packed)
     return res[0], res[1], tuple(res[2:])
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
                                                "inner", "interpret",
                                                "n_halves"))
-def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
+def field_backward_v4(packed, mean_cov, g_bands, d_out, f_out,
+                      samples_per_ray,
                       tile: int = 512, inner: int = 8,
                       interpret: bool = False, n_halves: int = 2):
     """2D-grid recompute-backward: same math as v3, but the fp32 wgrad
@@ -440,6 +460,7 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
         pl.BlockSpec((tile, IN_COLS), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((rays_per_tile, 512), row_map,
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
     ]
     for m in ipe_ops:
@@ -482,7 +503,8 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
             flops=flops_per_row * n,
             bytes_accessed=n * (IN_COLS * 4 + V3_OUT * 2) + n_rays * 4096,
             transcendentals=n * 300),
-    )(mean_cov, g_bands.astype(jnp.float32), d_out, *ipe_ops, E, *packed)
+    )(mean_cov, g_bands.astype(jnp.float32), d_out, f_out, *ipe_ops,
+      E, *packed)
     dmc, dg = res[0], res[1]
     dpacked = tuple(jnp.sum(a, axis=0) for a in res[2:])
     return dmc, dg, dpacked
@@ -491,7 +513,7 @@ def field_backward_v4(packed, mean_cov, g_bands, d_out, samples_per_ray,
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
                                                "inner", "interpret",
                                                "n_halves"))
-def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
+def field_backward_v5(packed, mean_cov, g_bands, acts, d_out, f_out,
                       samples_per_ray, tile: int = 512, inner: int = 8,
                       interpret: bool = False, n_halves: int = 2):
     """Recompute-FREE backward: identical math and grid structure to
@@ -526,6 +548,7 @@ def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
         pl.BlockSpec((tile, IN_COLS), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((rays_per_tile, 512), row_map,
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
     ]
     for m in ipe_ops:
@@ -572,8 +595,8 @@ def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
             bytes_accessed=n * (IN_COLS * 4 + (V3_OUT + ACTS_COLS) * 2)
             + n_rays * 4096,
             transcendentals=n * 300),
-    )(mean_cov, g_bands.astype(jnp.float32), d_out, *ipe_ops, E, acts,
-      *packed)
+    )(mean_cov, g_bands.astype(jnp.float32), d_out, f_out, *ipe_ops,
+      E, acts, *packed)
     dmc, dg = res[0], res[1]
     dpacked = tuple(jnp.sum(a, axis=0) for a in res[2:])
     return dmc, dg, dpacked
@@ -582,7 +605,8 @@ def field_backward_v5(packed, mean_cov, g_bands, acts, d_out,
 @functools.partial(jax.jit, static_argnames=("tile", "samples_per_ray",
                                                "inner", "interpret",
                                                "n_halves"))
-def field_backward_v6(packed, g_bands, xacts, d_out, samples_per_ray,
+def field_backward_v6(packed, g_bands, xacts, d_out, f_out,
+                      samples_per_ray,
                       tile: int = 512, inner: int = 8,
                       interpret: bool = False, n_halves: int = 2):
     """No-IPE recompute-free backward: same grid/accumulator structure
@@ -623,6 +647,7 @@ def field_backward_v6(packed, g_bands, xacts, d_out, samples_per_ray,
         pl.BlockSpec((rays_per_tile, 512), row_map,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, V3_OUT), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(E.shape, lambda o, i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -656,7 +681,7 @@ def field_backward_v6(packed, g_bands, xacts, d_out, samples_per_ray,
             flops=flops_per_row * n,
             bytes_accessed=n * (V3_OUT + XACTS_COLS) * 2 + n_rays * 4096,
             transcendentals=0),
-    )(xacts, g_bands.astype(jnp.float32), d_out, E, *packed)
+    )(xacts, g_bands.astype(jnp.float32), d_out, f_out, E, *packed)
     return res[0], tuple(jnp.sum(a, axis=0) for a in res[1:])
 
 
@@ -731,7 +756,10 @@ def fused_field_train(params, mean_cov, g_bands, samples_per_ray,
     d density_preact/d mean for the analytic-normals target; that chain
     is stop_gradient by construction — the backward ignores those
     cotangent columns, matching the reference where normals are a
-    detached regularization target, model.py:250-251).
+    detached regularization target, model.py:250-251).  Cols V3_MIDVAL
+    (the stored per-sample mid value consumed by the out-fed backward)
+    are equally auxiliary: their cotangents are ignored — callers must
+    not route live gradients through cols [14:20).
 
     save_acts=True (differentiated path only) runs the v6 forward,
     which spills the trunk activations to HBM, and the recompute-free
@@ -771,10 +799,10 @@ def _fwd(params, mean_cov, g_bands, samples_per_ray, tile, want_normals,
         out, acts = field_forward_v6(packed, mean_cov, g_bands,
                                      samples_per_ray, tile, want_normals,
                                      spill_x=not want_dmc)
-        return out, (params, mean_cov, g_bands, acts)
+        return out, (params, mean_cov, g_bands, acts, out)
     out = fused_field_train(params, mean_cov, g_bands, samples_per_ray,
                             tile, want_normals, save_acts, want_dmc)
-    return out, (params, mean_cov, g_bands, None)
+    return out, (params, mean_cov, g_bands, None, out)
 
 
 def bwd_rays_per_tile(tile, samples_per_ray):
@@ -799,22 +827,22 @@ def bwd_rays_per_tile(tile, samples_per_ray):
 
 def _bwd(samples_per_ray, tile, want_normals, save_acts, want_dmc, res,
          d_out):
-    params, mean_cov, g_bands, acts = res
+    params, mean_cov, g_bands, acts, f_out = res
     packed = pack_params_v3f(params)
     rays_per_tile_bwd = bwd_rays_per_tile(tile, samples_per_ray)
     tile_bwd = samples_per_ray * rays_per_tile_bwd
     if acts is not None and not want_dmc:
         dg, dpacked = field_backward_v6(
-            packed, g_bands, acts, d_out.astype(jnp.bfloat16),
+            packed, g_bands, acts, d_out.astype(jnp.bfloat16), f_out,
             samples_per_ray, tile_bwd)
         dmc = jnp.zeros_like(mean_cov)  # dead by caller contract
     elif acts is not None:
         dmc, dg, dpacked = field_backward_v5(
             packed, mean_cov, g_bands, acts, d_out.astype(jnp.bfloat16),
-            samples_per_ray, tile_bwd)
+            f_out, samples_per_ray, tile_bwd)
     else:
         dmc, dg, dpacked = field_backward_v4(
-            packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16),
+            packed, mean_cov, g_bands, d_out.astype(jnp.bfloat16), f_out,
             samples_per_ray, tile_bwd)
     return _unpack_grads(params, dpacked), dmc, dg
 

@@ -64,7 +64,8 @@ def shadow(params, mc, g, s=S):
     mid_out = diff + tint * mid
     out = jnp.concatenate(
         [mid_out, diff, tint, normals_raw, heads[:, 256:257], rough_raw,
-         jnp.zeros((mc.shape[0], fp.V3_OUT - 14), f32)], axis=1)
+         jnp.zeros((mc.shape[0], 3), f32), mid,
+         jnp.zeros((mc.shape[0], fp.V3_OUT - 20), f32)], axis=1)
     return out.astype(bf16)
 
 
@@ -109,10 +110,19 @@ def test_forward_narrow_out_cols_matches_full(setup):
         np.asarray(out_full[:, :fp.V3_EVAL_COLS], np.float32))
 
 
+def _fout(params, mc, g, s=S):
+    """Forward out (train width) for direct backward-kernel calls."""
+    return fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, s,
+                               tile=TILE, interpret=True)
+
+
 def test_backward_matches_shadow_grads(setup):
     params, mc, g = setup
     key = jax.random.PRNGKey(3)
     w_rand = jax.random.normal(key, (N, fp.V3_OUT))
+    # cols 14:20 (dpdm + stored mid) are auxiliary sg outputs: the
+    # backward ignores their cotangents by contract
+    w_rand = w_rand.at[:, 14:20].set(0.0)
 
     def loss_shadow(p, m, gg):
         return jnp.sum(shadow(p, m, gg).astype(jnp.float32) * w_rand)
@@ -123,7 +133,8 @@ def test_backward_matches_shadow_grads(setup):
     d_out = w_rand.astype(jnp.bfloat16)
     packed = fp.pack_params_v3f(params)
     dmc, dg, dpacked = ft.field_backward_v3(
-        packed, mc, g, d_out, S, tile=TILE, interpret=True)
+        packed, mc, g, d_out, _fout(params, mc, g), S, tile=TILE,
+        interpret=True)
     gk_p = ft._unpack_grads(params, dpacked)
 
     # compare params grads (skip mid_mlp encoder rows: those flow via dg)
@@ -193,9 +204,10 @@ def test_backward_v4_matches_v3(setup):
     d_out = jax.random.normal(jax.random.PRNGKey(5),
                               (N, fp.V3_OUT)).astype(jnp.bfloat16)
     packed = fp.pack_params_v3f(params)
-    dmc3, dg3, dp3 = ft.field_backward_v3(packed, mc, g, d_out, S,
+    fo = _fout(params, mc, g)
+    dmc3, dg3, dp3 = ft.field_backward_v3(packed, mc, g, d_out, fo, S,
                                           tile=TILE, interpret=True)
-    dmc4, dg4, dp4 = ft.field_backward_v4(packed, mc, g, d_out, S,
+    dmc4, dg4, dp4 = ft.field_backward_v4(packed, mc, g, d_out, fo, S,
                                           tile=TILE, inner=2,
                                           interpret=True)
     np.testing.assert_allclose(np.asarray(dmc4), np.asarray(dmc3),
@@ -259,6 +271,7 @@ def test_custom_vjp_chain_end_to_end(setup):
     """grad through fused_field_train (interpret fwd+bwd) vs shadow."""
     params, mc, g = setup
     w_rand = jax.random.normal(jax.random.PRNGKey(4), (N, fp.V3_OUT))
+    w_rand = w_rand.at[:, 14:20].set(0.0)  # sg aux cols (see above)
 
     # monkeypatch interpret mode into the vjp pair for CPU
     import functools
@@ -316,7 +329,8 @@ def test_backward_v4_rejects_non_dividing_tile(setup):
     packed = fp.pack_params_v3f(params)
     d_out = jnp.zeros((N, fp.V3_OUT), jnp.bfloat16)
     with pytest.raises(AssertionError):
-        ft.field_backward_v4(packed, mc, g, d_out, S,
+        ft.field_backward_v4(packed, mc, g, d_out,
+                             jnp.zeros((N, fp.V3_OUT), jnp.bfloat16), S,
                              tile=3 * S, interpret=True)  # 64 % 24 != 0
 
 
@@ -347,6 +361,7 @@ def test_custom_vjp_chain_non_dividing_sample_count():
     w_rand = jnp.zeros((n, fp.V3_OUT))
     w_rand = w_rand.at[-spr:].set(
         jax.random.normal(jax.random.PRNGKey(12), (spr, fp.V3_OUT)))
+    w_rand = w_rand.at[:, 14:20].set(0.0)  # sg aux cols
 
     orig_fwd, orig_bwd = ft.field_forward_v3, ft.field_backward_v4
     setattr(ft, "field_forward_v3",
@@ -434,10 +449,12 @@ def test_backward_v5_matches_v4(setup):
     packed = fp.pack_params_v3f(params)
     _, acts = fp.field_forward_v6(fp.pack_params_v3f(params), mc, g, S,
                                   tile=TILE, interpret=True)
-    dmc4, dg4, dp4 = ft.field_backward_v4(packed, mc, g, d_out, S,
+    fo = _fout(params, mc, g)
+    dmc4, dg4, dp4 = ft.field_backward_v4(packed, mc, g, d_out, fo, S,
                                           tile=TILE, inner=2,
                                           interpret=True)
-    dmc5, dg5, dp5 = ft.field_backward_v5(packed, mc, g, acts, d_out, S,
+    dmc5, dg5, dp5 = ft.field_backward_v5(packed, mc, g, acts, d_out,
+                                          fo, S,
                                           tile=TILE, inner=2,
                                           interpret=True)
     np.testing.assert_allclose(np.asarray(dmc5), np.asarray(dmc4),
@@ -505,10 +522,12 @@ def test_backward_v6_noipe_matches_v5(setup):
         np.asarray(acts, np.float32))
     assert xacts.shape == (N, fp.XACTS_COLS)
 
-    dmc5, dg5, dp5 = ft.field_backward_v5(packed, mc, g, acts, d_out, S,
+    fo = _fout(params, mc, g)
+    dmc5, dg5, dp5 = ft.field_backward_v5(packed, mc, g, acts, d_out,
+                                          fo, S,
                                           tile=TILE, inner=2,
                                           interpret=True)
-    dg6, dp6 = ft.field_backward_v6(packed, g, xacts, d_out, S,
+    dg6, dp6 = ft.field_backward_v6(packed, g, xacts, d_out, fo, S,
                                     tile=TILE, inner=2, interpret=True)
     np.testing.assert_allclose(np.asarray(dg6), np.asarray(dg5),
                                rtol=1e-4, atol=1e-4)
@@ -611,3 +630,32 @@ def test_custom_vjp_chain_no_dmc_with_normals(setup):
     finally:
         for name, orig in patches.items():
             setattr(ft, name, orig)
+
+
+def test_forward_n_halves_variants_bit_identical(setup):
+    """n_halves re-partitions the tile into independent row chunks —
+    pure schedule, identical values required (the eval glue may pick a
+    different halves count than the train path)."""
+    params, mc, g = setup
+    p3f = fp.pack_params_v3f(params)
+    base = fp.field_forward_v3(p3f, mc, g, S, tile=TILE, interpret=True)
+    for nh in (1, 4):
+        out = fp.field_forward_v3(p3f, mc, g, S, tile=TILE,
+                                  interpret=True, n_halves=nh)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(base, np.float32),
+                                      err_msg=f"n_halves={nh}")
+    d_out = jax.random.normal(jax.random.PRNGKey(9),
+                              (N, fp.V3_OUT)).astype(jnp.bfloat16)
+    packed = fp.pack_params_v3f(params)
+    fo = _fout(params, mc, g)
+    ref = ft.field_backward_v4(packed, mc, g, d_out, fo, S, tile=TILE,
+                               inner=2, interpret=True)
+    for nh in (1, 4):
+        got = ft.field_backward_v4(packed, mc, g, d_out, fo, S,
+                                   tile=TILE,
+                                   inner=2, interpret=True, n_halves=nh)
+        for a, b in zip(ref, got):
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                np.testing.assert_allclose(
+                    np.asarray(y), np.asarray(x), rtol=2e-5, atol=2e-5)
