@@ -130,11 +130,14 @@ def _eval_field(params: Params, ray_samples, fcfg: FieldConfig,
                                     fcfg.save_acts, want_dmc)[:R * S]
         else:
             # narrow store (V3_EVAL_COLS): only cols [0, 14) carry data
-            # at eval — 8x less kernel-output HBM traffic than V3_OUT
+            # at eval — 8x less kernel-output HBM traffic than V3_OUT.
+            # n_halves=4: more independent row chunks overlap the
+            # VPU-tail-limited eval forward (exp_r5_sweep, ~3%)
             out = fp.field_forward_v3(fp.pack_params_v3f(params), mc, g, S,
                                       tile,
                                       interpret=fcfg.pallas_interpret,
-                                      out_cols=fp.V3_EVAL_COLS)[:R * S]
+                                      out_cols=fp.V3_EVAL_COLS,
+                                      n_halves=4)[:R * S]
         out = out.reshape(R, S, out.shape[-1])
         preact = out[..., fp.V3_DENSITY:fp.V3_DENSITY + 1].astype(
             jnp.float32)
