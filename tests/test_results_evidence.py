@@ -170,3 +170,29 @@ def test_conv30k_r5_refresh_backs_headline():
     # coarse-over-fine on the parity scheme (the composite estimator-
     # noise penalty, BASELINE.md shinyfloor analysis) shows here too
     assert parity["coarse_psnr"] > parity["fine_psnr"]
+
+
+def test_extrapolated_view_observation():
+    """r5 extrapolated-view benchmark (VERDICT r4 #4): eval cameras
+    OUTSIDE the training elevation band.  Locks the three findings in
+    BASELINE.md: (1) primary-only degrades MOST out-of-band (its
+    view-dependent-texture reflections must extrapolate); (2) the
+    4-pass coarse beats primary-only's best out-of-band too (the
+    reflected-supervision positive persists); (3) the product metric
+    stays negative — the composite's estimator-noise penalty still
+    exceeds the extrapolation advantage on this scene class."""
+    mip = _load("extrap30000-mipnerf")
+    par = _load("extrap30000-parity")
+    pre = _load("extrap30000-preset")
+    # in-band r4 references: mipnerf 28.80, parity fine 26.25
+    assert mip["fine_psnr"] < 26.0, mip   # lost >= ~3 dB out-of-band
+    # (1) absolute degradation: mipnerf drops more than the composite
+    drop_mip = 28.80 - mip["fine_psnr"]
+    drop_par = 26.25 - par["fine_psnr"]
+    assert drop_mip > drop_par, (drop_mip, drop_par)
+    # (2) the 4-pass coarse beats primary-only's best image
+    assert par["coarse_psnr"] > max(mip["fine_psnr"], mip["coarse_psnr"]) \
+        - 0.3, (par, mip)
+    # (3) the product metric remains negative (honest record)
+    assert par["fine_psnr"] < mip["fine_psnr"]
+    assert pre["fine_psnr"] < mip["fine_psnr"]
