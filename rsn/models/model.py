@@ -612,6 +612,18 @@ def get_outputs(params: Params, ray_bundle: RayBundle, key: jax.Array,
         # color heads) — omit the key rather than emit background fill
         # that eval panels would show as a "render" (ADVICE r2)
         mid_reflect_coarse = None
+    elif not training and not need_coarse_rgb:
+        # output-aware pass 3 (r5, extends VERDICT r4 #2 to the
+        # reflected coarse pass): product renders consume no
+        # reflect-coarse rgb (render_image's product_only keep-list) —
+        # only its density weights feed the reflected PDF resampler —
+        # so pass 3 runs the density-only kernel too; downstream is
+        # bit-identical (same density column -> same PDF bins,
+        # tests/test_model_kernel_glue.py).  mid_reflect_coarse is
+        # omitted, matching the proposal-for-reflect contract above.
+        w_refl_coarse = _density_pass(params, rs_recip, fcfg)[..., None]
+        refl_sampling_weights = w_refl_coarse
+        mid_reflect_coarse = None
     else:
         w_refl_coarse, mid_reflect_coarse_in = _reflect_pass(
             params, rs_recip, background_color, fcfg, training)

@@ -155,9 +155,11 @@ def test_density_only_coarse_is_bit_identical_downstream(setup):
                                      training=False,
                                      need_coarse_rgb=False)
         # the density-only coarse emits no per-sample coarse heads
-        # (they exist only for the coarse losses / eval diagnostics)
+        # (they exist only for the coarse losses / eval diagnostics);
+        # r5: pass 3 is density-only too, so the reflect-coarse rgb is
+        # omitted (the product render's keep-list never reads it)
         dropped = {"pred_normals_coarse", "normals_coarse",
-                   "n_dot_d_coarse"}
+                   "n_dot_d_coarse", "mid_reflect_coarse"}
         assert set(dens) == set(full) - dropped
         for k in dens:
             if k == "mid_rgb_coarse":

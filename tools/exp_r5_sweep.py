@@ -53,21 +53,22 @@ def main():
                       f"({2*N*UNIT_FL/t/1e12:5.1f} TF/s of 2x)")
 
     if which in ("bwd", "all"):
-        print("== bwd v6 (no-IPE, acts), train fine shape ==")
-        _, xacts = jax.jit(lambda mc, g: fp.field_forward_v6(
+        print("== bwd v6 (no-IPE, acts, out-fed), train fine shape ==")
+        fout, xacts = jax.jit(lambda mc, g: fp.field_forward_v6(
             p4f, mc, g, S, 2048, want_normals=True, spill_x=True))(mc, g)
+        fout = fout[:, :fp.V3_OUT]
         dout = jax.random.normal(jax.random.PRNGKey(2),
                                  (N, fp.V3_OUT)).astype(jnp.bfloat16)
-        for tile in (1024, 2048):
-            for inner in (8, 16, 32):
+        for tile in (1024, 2048, 4096):
+            for inner in (4, 8, 16, 32):
                 for nh in (1, 2, 4):
                     if tile // S < 8:  # per-ray g block needs >=8 sublanes
                         continue
                     fn = jax.jit(
-                        lambda g, xa, do, t=tile, i=inner, h=nh:
-                        ft.field_backward_v6(p3, g, xa, do, S, t, i,
+                        lambda g, xa, do, fo, t=tile, i=inner, h=nh:
+                        ft.field_backward_v6(p3, g, xa, do, fo, S, t, i,
                                              n_halves=h)[0])
-                    t = min(time_kernel(fn, g, xacts, dout)
+                    t = min(time_kernel(fn, g, xacts, dout, fout)
                             for _ in range(3))
                     print(f"  tile={tile} inner={inner:2d} halves={nh}: "
                           f"{t*1e3:5.2f} ms "
