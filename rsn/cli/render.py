@@ -319,7 +319,19 @@ def main(argv=None) -> int:
                         "(mp4 via ffmpeg when present, else animated "
                         "gif)")
     p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--downscale-factor", type=float, default=1.0,
+                   help="render the generated camera paths (orbit/path/"
+                        "interpolate/spiral) at 1/N resolution "
+                        "(ns-render --downscale-factor); split-mode "
+                        "panels compare against gt at dataset "
+                        "resolution — downscale those with "
+                        "--pipeline.datamanager.downscale-factor at "
+                        "train time instead")
     ns = p.parse_args(argv)
+    if ns.mode == "split" and ns.downscale_factor != 1.0:
+        p.error("--downscale-factor applies to generated camera paths; "
+                "split renders follow the dataset resolution "
+                "(use the datamanager downscale-factor)")
 
     from rsn.cli.run_io import load_run_full
     from rsn.data.blender import load_dataset
@@ -354,6 +366,9 @@ def main(argv=None) -> int:
             cams = spiral_cameras(dataset.cameras, ns.num_frames)
         else:
             cams = orbit_cameras(dataset.cameras, ns.num_frames)
+        if ns.downscale_factor != 1.0:
+            from rsn.data.cameras import rescale_cameras
+            cams = rescale_cameras(cams, ns.downscale_factor)
         n = cams.num_cameras if not ns.max_images else min(
             cams.num_cameras, ns.max_images)
         frames = []

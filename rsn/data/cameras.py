@@ -46,6 +46,24 @@ class Cameras:
         return self.camera_to_worlds.shape[0]
 
 
+def rescale_cameras(cams: Cameras, factor: float) -> Cameras:
+    """Render-resolution override (the ns-render `--downscale-factor`
+    semantics): divide the image plane by `factor` — width/height and
+    the four intrinsics scale together, so every pixel keeps its world
+    ray; poses, distortion coefficients, and the projection model are
+    resolution-invariant (Kannala-Brandt / OpenCV polynomials act on
+    normalized coordinates)."""
+    if factor == 1.0:
+        return cams
+    if factor <= 0.0:
+        raise ValueError(f"downscale factor must be > 0, got {factor}")
+    s = 1.0 / float(factor)
+    return cams.replace(
+        fx=cams.fx * s, fy=cams.fy * s, cx=cams.cx * s, cy=cams.cy * s,
+        width=max(1, int(round(cams.width * s))),
+        height=max(1, int(round(cams.height * s))))
+
+
 def undistort_coords(x: jax.Array, y: jax.Array,
                      dist: jax.Array, iters: int = 10):
     """Invert the OpenCV radial(k1..k4)+tangential(p1,p2) model on

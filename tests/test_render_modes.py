@@ -130,3 +130,47 @@ def test_save_video_gif_fallback(tmp_path):
     im = Image.open(out)
     im.seek(4)  # 5 frames present
     assert im.size == (32, 24)
+
+
+def test_rescale_cameras_preserves_rays():
+    """rsn-render --downscale-factor: width/height and intrinsics scale
+    together, so corresponding pixels keep their world rays (pixel
+    (x, y) at full res and (x/2, y/2) at half res see the same
+    direction); poses untouched."""
+    from rsn.data.cameras import generate_image_rays, rescale_cameras
+
+    cams = _orbit_cams(n=2, w=32, h=24)
+    half = rescale_cameras(cams, 2.0)
+    assert (half.width, half.height) == (16, 12)
+    np.testing.assert_allclose(np.asarray(half.fx),
+                               np.asarray(cams.fx) / 2.0)
+    np.testing.assert_array_equal(np.asarray(half.camera_to_worlds),
+                                  np.asarray(cams.camera_to_worlds))
+    o_full, d_full, _ = generate_image_rays(cams, 0)
+    o_half, d_half, _ = generate_image_rays(half, 0)
+    d_full = np.asarray(d_full).reshape(24, 32, 3)
+    d_half = np.asarray(d_half).reshape(12, 16, 3)
+    # pixel centers (x+0.5)/f align at even full-res coordinates offset
+    # by the half-pixel shift: half pixel j covers full pixels 2j, 2j+1
+    # -> its center sits midway; compare against the full-res ray at the
+    # same normalized image coordinate via a direct recomputation
+    np.testing.assert_allclose(d_half[3, 5],
+                               _dir_at(cams, 0, (5 + 0.5) * 2, (3 + 0.5) * 2),
+                               atol=1e-6)
+    np.testing.assert_allclose(d_full[7, 11],
+                               _dir_at(cams, 0, 11.5, 7.5), atol=1e-6)
+    assert rescale_cameras(cams, 1.0) is cams
+
+
+def _dir_at(cams, idx, px, py):
+    """World ray direction through full-res pixel coordinate (px, py)
+    (pinhole, matching generate_image_rays' +0.5-center convention
+    with px/py already including the half-pixel offset)."""
+    fx = float(cams.fx[idx]); fy = float(cams.fy[idx])
+    cx = float(cams.cx[idx]); cy = float(cams.cy[idx])
+    x = (px - cx) / fx
+    y = -(py - cy) / fy
+    d = np.array([x, y, -1.0], np.float32)
+    c2w = np.asarray(cams.camera_to_worlds)[idx]
+    w = c2w[:3, :3] @ d
+    return w / np.linalg.norm(w)
